@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.hashing import md5_row_hash, url_hash, variation_key
+from web_crawling_prj_spark.functions.text import (
+    extract_text_bytes,
+    extract_text_udf,
+    lang_id,
+    render_html,
+    token_count,
+)
+
+SAMPLES = [
+    ("hello world\nsecond <p>ara & more", "en"),
+    ("übergröße & <script>alert('x')</script>", "de"),
+    ("中文文本，带标点。", "zh"),
+    ("", ""),
+    ("tab\tand  spaces", "en"),
+]
+
+
+def test_render_extract_roundtrip_bytes():
+    for text, lang in SAMPLES:
+        html = render_html(text, lang, "https://h.example/x")
+        assert extract_text_bytes(html) == text
+
+
+def test_extract_udf_byte_identity(spark):
+    rows = [(render_html(t, la, "https://h/x"), t) for t, la in SAMPLES]
+    df = spark.createDataFrame(rows, "html binary, expected string")
+    got = df.select(extract_text_udf("html").alias("t"), "expected").collect()
+    for r in got:
+        assert r.t == r.expected
+
+
+def test_extract_no_main():
+    assert extract_text_bytes(b"<html><body>junk</body></html>") == ""
+    assert extract_text_bytes(None) is None
+
+
+def test_md5_row_hash_reference_parity(spark):
+    # reference: md5('_'.join(str(row[col]))) — data_loader.py:393-402
+    df = spark.createDataFrame([("s1", 2.5, None)], "sku string, price double, note string")
+    got = df.select(md5_row_hash(["sku", "price", "note"]).alias("h")).first().h
+    expected = hashlib.md5("_".join([str("s1"), str(2.5), str(None)]).encode()).hexdigest()
+    assert got == expected
+
+
+def test_url_hash_salted_stable(spark):
+    df = spark.createDataFrame([("https://a.example/",)], ["u"])
+    h1 = df.select(url_hash("u").alias("h")).first().h
+    h2 = df.select(url_hash("u").alias("h")).first().h
+    h3 = df.select(url_hash("u", salt="other").alias("h")).first().h
+    assert h1 == h2 and h1 != h3
+
+
+def test_variation_key(spark):
+    # reference _get_variation_key: "{sku}_{opt1}_{opt2}" (wayfair_service.py:166-194)
+    df = spark.createDataFrame([("W123", ["Blue", "King"])], "sku string, options array<string>")
+    assert df.select(variation_key("sku", "options").alias("k")).first().k == "W123_Blue_King"
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [("the cat and the hat is in the house", "en"), ("der hund ist nicht da und", "de"), ("", "und")],
+        "text string, want string",
+    )
+    rows = df.select(token_count("text").alias("n"), lang_id("text").alias("l"), "want").collect()
+    assert rows[0].n == 9 and rows[0].l == "en"
+    assert rows[1].l == "de"
+    assert rows[2].n == 0 and rows[2].l == "und"
+
+
+def test_pages_gen_deterministic(spark, sf_dir):
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    p1 = pages_df(spark, sf_dir)
+    p2 = pages_df(spark, sf_dir)
+    chk = F.sum(F.xxhash64("url", "text", "lang").cast("decimal(38,0)")).alias("s")
+    c1 = p1.select(chk).first().s
+    c2 = p2.select(chk).first().s
+    assert c1 == c2 and p1.count() > 0
+    # html roundtrip on generated pages: extract == stored text, byte-for-byte
+    bad = (
+        p1.limit(200)
+        .withColumn("ex", extract_text_udf("html"))
+        .where(~F.col("ex").eqNullSafe(F.col("text")))
+        .count()
+    )
+    assert bad == 0
+    assert seeds_df(spark, sf_dir).count() > 0
+    assert robots_df(spark).count() == 97

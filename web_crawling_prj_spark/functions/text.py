@@ -1,0 +1,149 @@
+"""Text plane: byte-deterministic HTML→text extraction + text-analysis columns.
+
+Extraction is the engine's per-row invariant (BASELINE.json input_hint): for every
+page, ``extract_text(html) == text`` byte-for-byte. The reference's analog is its
+deterministic JSON extraction (``dags/data_warehouse/wayfair.init_dag_iload_wayfair.py:80-145``);
+here the payload is HTML. The extractor is a pure bytes→str function wrapped in an
+Arrow-vectorized pandas UDF — never row-at-a-time Python UDFs.
+
+HTML container format (produced by sources.pages_gen, consumed here):
+boilerplate head/nav/header + ``<main>`` holding one ``<p>`` per text line
+(HTML-escaped) + footer/script noise. Extraction = unescape(<p> bodies) joined
+with "\\n". ``unescape(escape(s)) == s`` and ``"\\n".join(s.split("\\n")) == s``
+make the round trip byte-identical.
+
+Text-analysis columns (token count, quality, language ID) are native Column
+expressions so they run JVM-side and have exact DuckDB-SQL oracle equivalents.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_MAIN_RE = re.compile(rb"<main>(.*?)</main>", re.DOTALL)
+_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+def extract_text_bytes(html: bytes | None) -> str | None:
+    """Pure extractor: html bytes → body text (byte-identical to the source text)."""
+    if html is None:
+        return None
+    m = _MAIN_RE.search(html)
+    if not m:
+        return ""
+    body = m.group(1).decode("utf-8")
+    paras = _P_RE.findall(body)
+    return "\n".join(_html.unescape(p) for p in paras)
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes, na_action="ignore")
+
+
+def render_html(text: str, lang: str, url: str) -> bytes:
+    """Deterministic inverse of the extractor (used by the synthetic page store).
+
+    Wraps ``text`` in realistic boilerplate (nav/header/footer/script/style noise)
+    so extraction is a non-trivial byte-identity check.
+    """
+    title = _html.escape(text[:40]) if text else "untitled"
+    paras = "".join(f"<p>{_html.escape(line)}</p>" for line in text.split("\n")) if text else ""
+    return (
+        '<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8"/>'
+        "<title>{title}</title>"
+        '<style>nav a{{color:#345;padding:2px}} footer{{font-size:10px}}</style>'
+        '<script>window.__t=[];function trk(x){{window.__t.push(x)}}</script>'
+        "</head><body>"
+        '<nav><a href="/">home</a><a href="/about">about</a><a href="{url}">self</a></nav>'
+        "<header><h1>{title}</h1></header>"
+        "<main>{paras}</main>"
+        "<footer>&copy; synthetic example corp</footer>"
+        '<script>trk("pv")</script>'
+        "</body></html>"
+    ).format(lang=_html.escape(lang or ""), title=title, url=_html.escape(url), paras=paras).encode("utf-8")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- text analysis (native expressions; oracle-parity SQL in __spark_entry__) ---
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, single punct.
+
+    A cheap proxy for BPE token counts in training-data budgeting.
+    """
+    return F.regexp_count(_c(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+_STOPWORDS = {
+    "en": r"(?i)\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"(?i)\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b",
+    "vi": r"(?i)\b(của|và|là|không|người|trong|được|có|cho|này)\b",
+    "fr": r"(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+}
+_CJK = r"[一-鿿]"
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (n-gram/stopword heuristic)."""
+    t = _c(text)
+    scores = {k: F.regexp_count(t, F.lit(pat)) for k, pat in _STOPWORDS.items()}
+    scores["zh"] = F.regexp_count(t, F.lit(_CJK))
+    return scores
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax language over marker scores; 'und' when nothing matches.
+
+    Ties break by fixed language order (en, de, vi, fr, zh) — deterministic.
+    """
+    s = lang_scores(text)
+    order = ["en", "de", "vi", "fr", "zh"]
+    best = F.greatest(*[s[k] for k in order])
+    out = F.lit("und")
+    for k in reversed(order):
+        out = F.when((best > 0) & (s[k] == best), F.lit(k)).otherwise(out)
+    # earlier langs in `order` win ties because later whens wrap earlier ones
+    return out
+
+
+def quality_score(text: Column | str) -> Column:
+    """[0,1] doc-quality heuristic: length band + alpha ratio + stopword density.
+
+    Mirrors common webtext-pipeline filters (length, symbol ratio, stopword ratio).
+    Pure arithmetic over native regexp counts — exactly reproducible in SQL.
+    """
+    t = _c(text)
+    n = F.length(t)
+    alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    stop = F.regexp_count(t, F.lit(_STOPWORDS["en"]))
+    toks = token_count(t)
+    len_band = F.when((n >= 200) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(toks > 0, F.least(F.lit(1.0), stop * 5.0 / toks)).otherwise(F.lit(0.0))
+    return F.round((len_band + alpha_ratio + stop_ratio) / 3.0, 6)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Exact-duplicate fingerprint: xxhash64 of the raw text (native, 64-bit)."""
+    return F.xxhash64(_c(text))
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Fingerprint robust to case/whitespace: hash of lower+space-collapsed text."""
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " "))

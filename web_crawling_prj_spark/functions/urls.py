@@ -1,0 +1,136 @@
+"""URL canonicalization (RFC 3986 normalization) + host extraction.
+
+The reference keys its seen-set on ad-hoc canonical strings
+(``services/wayfair_service.py:166-194`` builds ``"{sku}_{opt1}_{opt2}"``;
+``utils/params_decoder.py:4-14`` parses query strings). Our engine keys on a
+proper RFC 3986-canonical URL instead:
+
+- scheme + host lowercased, trailing host dot stripped;
+- default ports dropped (http:80, https:443);
+- path dot-segments resolved (RFC 3986 §5.2.4), empty path → "/";
+- percent-encodings uppercased, unreserved characters decoded (§6.2.2.2);
+- query pairs sorted by (key, value), empty-valued "a=" kept, bare "a" kept;
+- fragment removed.
+
+Two implementations:
+1. :func:`canonicalize_url` — pure-Python reference (unit-test authority);
+2. :func:`canonicalize_url_udf` — Arrow-vectorized pandas UDF of (1) for the
+   data plane (no row-at-a-time Spark UDFs anywhere).
+
+Host extraction and simple normalizations are native Column expressions so they
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _normalize_percent(s: str) -> str:
+    """Uppercase percent triplets; decode ones that encode unreserved chars."""
+
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # Preserve leading slash; collapse "." / ".." artifacts at the edges.
+    if path.startswith("/") and (not out or out[0] != ""):
+        out.insert(0, "")
+    if path.endswith(("/.", "/..", "/")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Pure-Python RFC 3986 canonicalizer (the byte-level authority)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return ""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url  # unparseable → identity (kept, hashed as-is)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+
+    path = _normalize_percent(_remove_dot_segments(parts.path))
+    if scheme and not path:
+        path = "/"
+
+    query = ""
+    if parts.query:
+        pairs = [p for p in parts.query.split("&") if p]
+        norm = []
+        for p in pairs:
+            if "=" in p:
+                k, _, v = p.partition("=")
+                norm.append((_normalize_percent(k), _normalize_percent(v), True))
+            else:
+                norm.append((_normalize_percent(p), "", False))
+        norm.sort(key=lambda t: (t[0], t[1]))
+        query = "&".join(f"{k}={v}" if has_eq else k for k, v, has_eq in norm)
+
+    out = f"{scheme}://{netloc}" if scheme else netloc
+    out += path
+    if query:
+        out += "?" + query
+    return out
+
+
+@F.pandas_udf(StringType())
+def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-vectorized canonicalizer for the data plane."""
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+def host_of(url: Column | str) -> Column:
+    """Native host extraction (stays in codegen): lowercased authority host."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+def strip_fragment(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_replace(c, "#.*$", "")
+
+
+def url_depth(url_canon: Column | str) -> Column:
+    """Path depth of a canonical URL (segments in path)."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("/"))
+    return F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))

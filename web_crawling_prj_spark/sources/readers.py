@@ -1,0 +1,87 @@
+"""Format-dispatched scans — reference DataLoaderFactory re-expressed on Spark.
+
+The reference hand-rolls one pandas loader class per format plus a registration
+factory (``utils/common/db_loader/data_loader.py:64-267``). On Spark the same
+surface is ``spark.read.format(...)`` with per-format options; this module keeps
+the factory shape (including dynamic registration, S4) so config-driven
+pipelines can say ``read(spark, 'csv', path, schema=..., skip_rows=2)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+ReaderFn = Callable[..., DataFrame]
+_READERS: dict[str, ReaderFn] = {}
+
+
+def register_reader(fmt: str, fn: ReaderFn) -> None:
+    """Dynamic registration (reference: DataLoaderFactory.register_loader,
+    data_loader.py:202-267)."""
+    _READERS[fmt.lower()] = fn
+
+
+def read(spark: SparkSession, fmt: str, path: str, schema: StructType | str | None = None, **opts) -> DataFrame:
+    fn = _READERS.get(fmt.lower())
+    if fn is None:
+        raise ValueError(f"no reader registered for format {fmt!r}; have {sorted(_READERS)}")
+    return fn(spark, path, schema=schema, **opts)
+
+
+def _csv(spark: SparkSession, path: str, schema=None, skip_rows: int = 0, **opts) -> DataFrame:
+    """CSV scan (S1) incl. header-offset variant (S5: Google reports carry 2
+    junk lines, gg_ads.init_dag_iload_gg_ads.py:24)."""
+    r = spark.read.option("header", "true")
+    if skip_rows:
+        r = r.option("skipRows", str(skip_rows))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def _json(spark: SparkSession, path: str, schema=None, path_glob: str | None = None, **opts) -> DataFrame:
+    """JSON scan (S2) + whole-directory scan with filename-as-key (S6: the
+    reference's one-file-per-key layout, services/wayfair_service.py:57-99).
+    ``_metadata.file_path`` recovers the key column."""
+    r = spark.read
+    if path_glob:
+        r = r.option("pathGlobFilter", path_glob)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def _parquet(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    r = spark.read
+    for k, v in opts.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def _jdbc(spark: SparkSession, url: str, schema=None, table: str | None = None, **opts) -> DataFrame:
+    """JDBC scan (S7; reference pd.read_sql_query, data_reader.py:25). Not
+    exercised in the sandbox (no DB) but the dispatch surface is real."""
+    r = spark.read.format("jdbc").option("url", url)
+    if table:
+        r = r.option("dbtable", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+for _fmt, _fn in {"csv": _csv, "json": _json, "parquet": _parquet, "jdbc": _jdbc}.items():
+    register_reader(_fmt, _fn)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience scan of a driver testdata table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
