@@ -1,38 +1,780 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl plan end-to-end at sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2, each calling the engine's REAL operators
+(web_crawling_prj_spark.*); ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+Crawl-state queries run over a frontier DERIVED deterministically from the
+read-only ``documents`` table with pure SQL-expressible arithmetic, so both
+engines compute it identically (BASELINE.json input_hint: no external data).
+
+Column aliases match between Spark and SQL exactly (driver hashes values after
+sorting columns by name). Money aggregates use integer cents so float
+accumulation order can't flip a rounded digit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions import text as T
+from web_crawling_prj_spark.functions.hashing import md5_row_hash
+from web_crawling_prj_spark.operators.dedup import anti_join_seen
+from web_crawling_prj_spark.operators.retry import classify_status, backoff_seconds
+from web_crawling_prj_spark.operators.scd2 import scd2_rebuild_from_history
+from web_crawling_prj_spark.operators.similarity import brute_force_topk, cosine, lsh_bucketed_topk
+from web_crawling_prj_spark.operators.textdedup import (
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived crawl tables (identical arithmetic in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    host_id = F.when(F.col("doc_id") % 5 < 2, F.lit(0)).otherwise(F.col("doc_id") % 50)
+    host = F.concat(F.lit("host-"), F.lpad(host_id.cast("string"), 4, "0"), F.lit(".example"))
+    return docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string"),
+            F.lit("?id="), F.col("doc_id").cast("string"), F.lit("&ref=seed"),
+        ).alias("url"),
+        host.alias("host"),
+        ((F.col("doc_id") * 2654435761) % 1000 / 1000.0).alias("priority"),
+        "doc_id",
+    )
+
+
+_FRONTIER_SQL = """
+frontier AS (
+  SELECT 'https://host-' || lpad(CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 50 END AS VARCHAR), 4, '0')
+         || '.example/doc/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=seed' AS url,
+         'host-' || lpad(CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 50 END AS VARCHAR), 4, '0') || '.example' AS host,
+         CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000.0 AS priority,
+         doc_id
+  FROM documents
+),
+seen AS (SELECT url FROM frontier WHERE doc_id % 3 = 0)
+"""
+
+
+def _seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frontier(spark, sf_dir).where(F.col("doc_id") % 3 == 0).select("url")
+
+
+_CENTS_PRICE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_CENTS_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_CENTS_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark) — each mirrors its oracle_sql() twin, alias for alias
+# ---------------------------------------------------------------------------
+
+def q_frontier_dedup(spark, sf_dir):
+    """J1/U1: frontier ∖ seen via the engine's anti-join operator."""
+    pending = anti_join_seen(_frontier(spark, sf_dir), _seen(spark, sf_dir), key="url")
+    return pending.select("url", "host", F.round("priority", 6).alias("priority"))
+
+
+def q_politeness_topk(spark, sf_dir):
+    """W4: per-host priority top-k with deterministic tiebreak (url)."""
+    pending = anti_join_seen(_frontier(spark, sf_dir), _seen(spark, sf_dir), key="url")
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        pending.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 5)
+        .select("host", "url", F.round("priority", 6).alias("priority"), "host_rank")
+    )
+
+
+def q_host_skew_profile(spark, sf_dir):
+    """A4: per-host frontier counts + share (skew diagnostics)."""
+    f = _frontier(spark, sf_dir)
+    agg = f.groupBy("host").agg(F.count("*").alias("n_urls"))
+    total = Window.partitionBy()
+    return agg.select(
+        "host", "n_urls", F.round(F.col("n_urls") * 100.0 / F.sum("n_urls").over(total), 4).alias("pct")
+    )
+
+
+def q_frontier_batches(spark, sf_dir):
+    """O4: deterministic batch ids from politeness rank (chunk_list analog)."""
+    pending = anti_join_seen(_frontier(spark, sf_dir), _seen(spark, sf_dir), key="url")
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        pending.withColumn("host_rank", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("host_rank") - 1) / 10).cast("long"))
+        .select("host", "url", "host_rank", "batch_id")
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """Robots prefix gate: hosts ≡ 0 (mod 7 over trailing id) disallow /doc/1*."""
+    f = _frontier(spark, sf_dir)
+    host_num = F.substring("host", 6, 4).cast("int")
+    path = F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+    blocked = (host_num % 7 == 0) & path.startswith("/doc/1")
+    return f.where(~blocked).select("url", "host")
+
+
+def q_error_classification(spark, sf_dir):
+    """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    codes = [429, 401, 403, 404, 500, 408, 200, 498]
+    http = F.element_at(F.array(*[F.lit(c) for c in codes]), (F.col("event_id") % 8 + 1).cast("int"))
+    df = ev.select("event_id", http.alias("http_code"))
+    return df.withColumn("error_class", classify_status("http_code"))
+
+
+def q_retry_backoff(spark, sf_dir):
+    """C9/C10: per-class budget + backoff table parity (no jitter)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    classes = ["network_error", "rate_limit", "timeout", "proxy_error", "auth_error"]
+    cls = F.element_at(F.array(*[F.lit(c) for c in classes]), (F.col("event_id") % 5 + 1).cast("int"))
+    att = (F.col("event_id") % 8 + 1).cast("int")
+    df = ev.select("event_id", cls.alias("error_class"), att.alias("attempt"))
+    return df.withColumn("backoff_s", F.round(backoff_seconds("error_class", "attempt"), 6))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A-aggs (TPC-H Q1 shape) in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_f = 100 - _cents("l_discount")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_cents("l_extendedprice") * disc_f).alias("sum_disc_cents_pct"),
+            F.sum(_cents("l_extendedprice") * disc_f * (100 + _cents("l_tax"))).alias("sum_charge_micro"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_order_per_cust(spark, sf_dir):
+    """W2/O1: most recent order per customer (rank-1 by recency)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            _cents("o_totalprice").alias("total_cents"),
+        )
+    )
+
+
+def q_lag_purchase_delta(spark, sf_dir):
+    """W1: LAG parity (data_reader.py:13-21) — per-user purchase value delta."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round("prev_value", 2).alias("prev_value"),
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+        )
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """J1 relational analog: anti join (customers with no high-value order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J3 multi-table equi joins + agg (Q5 shape), integer cents."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents_pct"), F.count("*").alias("n_items"))
+    )
+
+
+def q_supplier_expr_join(spark, sf_dir):
+    """J4: expression-key join (lower() on the join key)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.upper("n_name").alias("mangled"))
+    j = s.join(n, s.s_nationkey == n.n_nationkey).where(
+        F.lower(F.col("mangled")) == F.lower(F.col("mangled"))
+    )
+    return j.groupBy(F.lower("mangled").alias("nation_lc")).agg(F.count("*").alias("n_suppliers"))
+
+
+def q_halfyear_recon(spark, sf_dir):
+    """J5: full outer join of per-customer H1 vs H2 order counts."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = o.where(F.month("o_orderdate") <= 6).groupBy("o_custkey").agg(F.count("*").alias("h1_cnt"))
+    h2 = o.where(F.month("o_orderdate") > 6).groupBy("o_custkey").agg(F.count("*").alias("h2_cnt"))
+    j = h1.withColumnRenamed("o_custkey", "k1").join(
+        h2.withColumnRenamed("o_custkey", "k2"), F.col("k1") == F.col("k2"), "full_outer"
+    )
+    return j.select(
+        F.coalesce("k1", "k2").alias("custkey"),
+        F.coalesce("h1_cnt", F.lit(0)).alias("h1_cnt"),
+        F.coalesce("h2_cnt", F.lit(0)).alias("h2_cnt"),
+    )
+
+
+def q_semi_join_bigorders(spark, sf_dir):
+    """J6: left-semi join (lineitems of high-value orders), aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return (
+        li.join(big, li.l_orderkey == big.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+
+
+def q_pivot_priority_status(spark, sf_dir):
+    """A5: first/conditional-agg pivot (orders count by status per priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cnt_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("cnt_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("cnt_p"),
+    )
+
+
+def q_success_rate(spark, sf_dir):
+    """A7: success-rate metric (error_handler.py:282-289) per user."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("ops"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.round(
+            (F.count("*") - F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)))
+            * 100.0
+            / F.count("*"),
+            4,
+        ).alias("success_rate_pct"),
+    )
+
+
+def q_scd2_rebuild(spark, sf_dir):
+    """M2/W3: SCD2 metadata derivation via the engine's rebuild operator."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("created_at")
+    )
+    rb = scd2_rebuild_from_history(o, ["o_custkey"], order_col="created_at")
+    # deterministic tiebreak for same-day orders: re-derive with composite order
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("created_at"), F.asc("o_orderkey"))
+    wd = Window.partitionBy("o_custkey").orderBy(F.desc("created_at"), F.desc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("row_version_number"),
+        (F.row_number().over(wd) == 1).alias("row_is_latest"),
+        F.when(F.row_number().over(w) == 1, F.lit("1900-01-01"))
+        .otherwise(F.date_format("created_at", "yyyy-MM-dd"))
+        .alias("row_start_date"),
+        F.coalesce(F.date_format(F.lead("created_at", 1).over(w), "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "row_end_date"
+        ),
+    )
+
+
+def q_percent_cleanup(spark, sf_dir):
+    """F5: percent-string cleanup parity (gg_ads.init_dag_iload_gg_ads.py:24-39)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    raw = (
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("--"))
+        .when(F.col("l_orderkey") % 89 == 0, F.lit("< 10%"))
+        .otherwise(F.concat(_cents("l_discount").cast("string"), F.lit("%")))
+    )
+    df = li.select("l_orderkey", raw.alias("pct_str"))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.trim("pct_str"), "^< 10%$", "9.99"), "%", ""),
+        "^--$",
+        "0",
+    )
+    return df.withColumn("pct_value", F.round(cleaned.cast("double") / 100.0, 6))
+
+
+def q_month_last_day(spark, sf_dir):
+    """F7: month-name string → last day of month (last_day parity)."""
+    o = _t(spark, sf_dir, "orders")
+    month_str = F.date_format("o_orderdate", "MMMM yyyy")
+    df = o.select(month_str.alias("month_str")).distinct()
+    return df.select(
+        "month_str",
+        F.date_format(F.last_day(F.to_date("month_str", "MMMM yyyy")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+def q_url_param_parse(spark, sf_dir):
+    """F4: URL query-param extraction (params_decoder.py:4-14) via regexp."""
+    f = _frontier(spark, sf_dir)
+    return f.select(
+        "url",
+        F.regexp_extract("url", "[?&]id=([0-9]+)", 1).cast("long").alias("id_param"),
+        F.regexp_extract("url", "[?&]ref=([a-z]+)", 1).alias("ref_param"),
+    )
+
+
+def q_md5_business_key(spark, sf_dir):
+    """F1: MD5 row-hash parity (data_loader.py:393-402) over part business cols."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", md5_row_hash(["p_partkey", "p_name", "p_brand"]).alias("hash_key")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish token counts per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Text analysis: doc quality heuristic (length/alpha/stopword bands)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Text analysis: n-gram/stopword language ID vs stored label."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+def q_docs_by_lang(spark, sf_dir):
+    """Agg over documents: per-lang counts + char budget."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_exact_dup_flags(spark, sf_dir):
+    """Dedup tier 1: exact-duplicate flag per doc via md5(text) fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", F.md5("text").alias("fingerprint"))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keep_id"))
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Similarity: exact brute-force cosine top-5 for 3 query vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, q, k=5).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+# --- non-SQL-expressible (rows-only checks) ---
+
+def q_minhash_neardups(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs over documents (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, jaccard_threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(d, max_hamming=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only; brute force is the oracle-
+    checked gold standard)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucketed_topk(e, q, dim=dim, k=5, n_planes=8).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal plumbing: synth blobs → mapInPandas decode → metadata agg
+    (rows-only; kernels are stubbed, plumbing is real)."""
+    from web_crawling_prj_spark.operators.multimodal import decode_metadata, synth_media_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod("doc_id", F.lit(3)).cast("int").alias("mtype")
+    )
+    media = d.withColumn("media", synth_media_udf("doc_id", "mtype")).drop("mtype")
+    return (
+        decode_metadata(media)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("width").alias("sum_w"),
+            F.sum("height").alias("sum_h"),
+        )
+    )
+
+
+def q_crawl_rounds(spark, sf_dir):
+    """Flagship integration: two full crawl rounds (dedup→robots→politeness→
+    fetch→retry→checkpoint), returns the fetch log (rows-only check)."""
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, run_crawl
+    from web_crawling_prj_spark.plans.statestore import StateStore
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    pages = pages_df(spark, sf_dir)
+    cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25, use_bloom=False)
+    cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
+    store = StateStore(tempfile.mkdtemp(prefix="wcp_entry_"))
+    run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
+    log = store.read_all(spark, "fetch_log")
+    return log.select(
+        "round_id", "url_hash", "url_canon", "host", "attempt", "http_code", "error_class"
+    ).orderBy("round_id", "url_hash")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl-round pipeline on sf0.001."""
+    return q_crawl_rounds(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_dedup": q_frontier_dedup,
+        "politeness_topk": q_politeness_topk,
+        "host_skew_profile": q_host_skew_profile,
+        "frontier_batches": q_frontier_batches,
+        "robots_gate": q_robots_gate,
+        "error_classification": q_error_classification,
+        "retry_backoff": q_retry_backoff,
+        "pricing_summary": q_pricing_summary,
+        "top_order_per_cust": q_top_order_per_cust,
+        "lag_purchase_delta": q_lag_purchase_delta,
+        "customers_no_orders": q_customers_no_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "supplier_expr_join": q_supplier_expr_join,
+        "halfyear_recon": q_halfyear_recon,
+        "semi_join_bigorders": q_semi_join_bigorders,
+        "pivot_priority_status": q_pivot_priority_status,
+        "success_rate": q_success_rate,
+        "scd2_rebuild": q_scd2_rebuild,
+        "percent_cleanup": q_percent_cleanup,
+        "month_last_day": q_month_last_day,
+        "url_param_parse": q_url_param_parse,
+        "md5_business_key": q_md5_business_key,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "docs_by_lang": q_docs_by_lang,
+        "exact_dup_flags": q_exact_dup_flags,
+        "embedding_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
+        "minhash_neardups": q_minhash_neardups,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_decode": q_media_decode,
+        "crawl_rounds": q_crawl_rounds,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_dedup": f"""
+WITH {_FRONTIER_SQL}
+SELECT f.url, f.host, round(f.priority, 6) AS priority
+FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+""",
+        "politeness_topk": f"""
+WITH {_FRONTIER_SQL},
+pending AS (SELECT f.* FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)),
+ranked AS (SELECT host, url, priority,
+                  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS host_rank
+           FROM pending)
+SELECT host, url, round(priority, 6) AS priority, CAST(host_rank AS INT) AS host_rank
+FROM ranked WHERE host_rank <= 5
+""",
+        "host_skew_profile": f"""
+WITH {_FRONTIER_SQL},
+agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM frontier GROUP BY host)
+SELECT host, n_urls, round(n_urls * 100.0 / sum(n_urls) OVER (), 4) AS pct FROM agg
+""",
+        "frontier_batches": f"""
+WITH {_FRONTIER_SQL},
+pending AS (SELECT f.* FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)),
+ranked AS (SELECT host, url,
+                  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS host_rank
+           FROM pending)
+SELECT host, url, CAST(host_rank AS INT) AS host_rank,
+       CAST(floor((host_rank - 1) / 10) AS BIGINT) AS batch_id
+FROM ranked
+""",
+        "robots_gate": f"""
+WITH {_FRONTIER_SQL}
+SELECT url, host FROM frontier
+WHERE NOT (CAST(substr(host, 6, 4) AS INT) % 7 = 0
+           AND ('/doc/' || CAST(doc_id AS VARCHAR)) LIKE '/doc/1%')
+""",
+        "error_classification": """
+WITH derived AS (
+  SELECT event_id,
+         ([429, 401, 403, 404, 500, 408, 200, 498])[CAST(event_id % 8 AS INT) + 1] AS http_code
+  FROM events WHERE event_type = 'error'
+)
+SELECT event_id, http_code,
+  CASE WHEN http_code IN (429, 408, 498) THEN 'rate_limit'
+       WHEN http_code = 401 THEN 'auth_error'
+       WHEN http_code = 403 THEN 'token_expired'
+       WHEN http_code >= 400 AND http_code < 500 THEN 'api_error'
+       WHEN http_code >= 500 THEN 'network_error'
+       WHEN http_code >= 200 AND http_code < 300 THEN 'ok'
+       ELSE 'unknown' END AS error_class
+FROM derived
+""",
+        "retry_backoff": """
+WITH derived AS (
+  SELECT event_id,
+         (['network_error','rate_limit','timeout','proxy_error','auth_error'])[CAST(event_id % 5 AS INT) + 1] AS error_class,
+         CAST(event_id % 8 + 1 AS INT) AS attempt
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, error_class, attempt,
+       round(least(CASE WHEN error_class = 'rate_limit' THEN 10.0 ELSE 1.0 END
+                   * power(2.0, attempt - 1), 60.0), 6) AS backoff_s
+FROM derived
+""",
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_CENTS_PRICE}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_CENTS_PRICE} * (100 - {_CENTS_DISC})) AS BIGINT) AS sum_disc_cents_pct,
+       CAST(sum({_CENTS_PRICE} * (100 - {_CENTS_DISC}) * (100 + {_CENTS_TAX})) AS BIGINT) AS sum_charge_micro,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_order_per_cust": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM ranked WHERE rn = 1
+""",
+        "lag_purchase_delta": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+l AS (SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+      FROM p)
+SELECT event_id, user_id, round(value, 2) AS value, round(prev_value, 2) AS prev_value,
+       round(value - prev_value, 2) AS delta
+FROM l WHERE prev_value IS NOT NULL
+""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+        "revenue_by_nation": f"""
+SELECT n_name,
+       CAST(sum({_CENTS_PRICE} * (100 - {_CENTS_DISC})) AS BIGINT) AS revenue_cents_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "supplier_expr_join": """
+WITH m AS (SELECT n_nationkey, upper(n_name) AS mangled FROM nation)
+SELECT lower(mangled) AS nation_lc, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN m ON s_nationkey = n_nationkey
+WHERE lower(mangled) = lower(mangled)
+GROUP BY lower(mangled)
+""",
+        "halfyear_recon": """
+WITH h1 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS h1_cnt FROM orders
+            WHERE month(o_orderdate) <= 6 GROUP BY o_custkey),
+h2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS h2_cnt FROM orders
+       WHERE month(o_orderdate) > 6 GROUP BY o_custkey)
+SELECT coalesce(h1.o_custkey, h2.o_custkey) AS custkey,
+       coalesce(h1_cnt, 0) AS h1_cnt, coalesce(h2_cnt, 0) AS h2_cnt
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+""",
+        "semi_join_bigorders": """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)
+GROUP BY l_returnflag
+""",
+        "pivot_priority_status": """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+FROM orders GROUP BY o_orderpriority
+""",
+        "success_rate": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS ops,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       round((count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) * 100.0 / count(*), 4)
+         AS success_rate_pct
+FROM events GROUP BY user_id
+""",
+        "scd2_rebuild": """
+SELECT o_custkey, o_orderkey,
+  CAST(row_number() OVER w_asc AS INT) AS row_version_number,
+  (row_number() OVER w_desc = 1) AS row_is_latest,
+  CASE WHEN row_number() OVER w_asc = 1 THEN '1900-01-01'
+       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS row_start_date,
+  coalesce(strftime(lead(o_orderdate) OVER w_asc, '%Y-%m-%d'), '9999-12-31') AS row_end_date
+FROM orders
+WINDOW w_asc AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       w_desc AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)
+""",
+        "percent_cleanup": """
+WITH src AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 97 = 0 THEN '--'
+              WHEN l_orderkey % 89 = 0 THEN '< 10%'
+              ELSE CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR) || '%' END AS pct_str
+  FROM lineitem WHERE l_linenumber = 1)
+SELECT l_orderkey, pct_str,
+  round(CAST(regexp_replace(regexp_replace(regexp_replace(trim(pct_str), '^< 10%$', '9.99'), '%', ''), '^--$', '0') AS DOUBLE) / 100.0, 6) AS pct_value
+FROM src
+""",
+        "month_last_day": """
+WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%B %Y') AS month_str FROM orders)
+SELECT month_str, strftime(last_day(strptime(month_str, '%B %Y')), '%Y-%m-%d') AS month_end FROM m
+""",
+        "url_param_parse": f"""
+WITH {_FRONTIER_SQL}
+SELECT url,
+       CAST(regexp_extract(url, '[?&]id=([0-9]+)', 1) AS BIGINT) AS id_param,
+       regexp_extract(url, '[?&]ref=([a-z]+)', 1) AS ref_param
+FROM frontier
+""",
+        "md5_business_key": """
+SELECT p_partkey,
+       md5(concat_ws('_', coalesce(CAST(p_partkey AS VARCHAR), 'None'),
+                          coalesce(CAST(p_name AS VARCHAR), 'None'),
+                          coalesce(CAST(p_brand AS VARCHAR), 'None'))) AS hash_key
+FROM part
+""",
+        "token_counts": r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+        "quality_scores": r"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) AS stop,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+  FROM documents)
+SELECT doc_id,
+  round(((CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END)
+         + (CASE WHEN toks > 0 THEN least(1.0, stop * 5.0 / toks) ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM m
+""",
+        "lang_id": r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(của|và|là|không|người|trong|được|có|cho|này)\b')) AS s_vi,
+    len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents),
+b AS (SELECT *, greatest(s_en, s_de, s_vi, s_fr, s_zh) AS best FROM s)
+SELECT doc_id, lang,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN s_en = best THEN 'en'
+       WHEN s_de = best THEN 'de'
+       WHEN s_vi = best THEN 'vi'
+       WHEN s_fr = best THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM b
+""",
+        "docs_by_lang": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+""",
+        "exact_dup_flags": """
+WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+       doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM f
+""",
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+    }

@@ -1,0 +1,140 @@
+"""Benchmark: north metric (URLs scheduled+deduped/sec) + headline query timings.
+
+Prints ONE JSON line:
+  {"metric": "urls_scheduled_deduped_per_sec", "value": <rate>, "unit": "urls/sec",
+   "queries": {<name>: seconds, ...}, "sf": <sf>, ...}
+
+The north workload is the frontier core at bench scale: a deterministic
+synthetic frontier of N URLs (skewed hosts, BASELINE.json shape) is hashed,
+anti-joined against a seen-set covering ~40% of it, politeness-ranked (salted
+two-level top-k per host), and counted. rate = N / wall.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  SPARK_GRAFT_BENCH_URLS  frontier size (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.hashing import url_hash
+from web_crawling_prj_spark.operators.dedup import anti_join_seen
+from web_crawling_prj_spark.operators.politeness import schedule_round
+from web_crawling_prj_spark.session import get_spark
+
+N_HOSTS = 9973
+HOT_PCT = 20  # % of URLs on one hot host — the skew the salted rank must defeat
+
+
+def synthetic_frontier(spark, n: int):
+    """Deterministic frontier of n URLs: url/host/priority, Zipf-ish host skew."""
+    base = spark.range(n)
+    mixed = F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1))
+    host_id = F.when(mixed % 100 < HOT_PCT, F.lit(0)).otherwise(mixed % N_HOSTS)
+    host = F.format_string("host-%05d.example", host_id)
+    url = F.format_string("https://%s/p/%d?id=%d&ref=bench", host, F.col("id"), F.col("id"))
+    return base.select(
+        url.alias("url_canon"),
+        host.alias("host"),
+        (mixed % 100_000 / 100_000.0).alias("priority"),
+        url_hash(url).alias("url_hash"),
+    )
+
+
+def bench_frontier_core(spark, n: int, n_salts: int = 16, budget: int = 1000) -> dict:
+    frontier = synthetic_frontier(spark, n)
+    # seen-set: every url whose id ≡ 0,1 (mod 5) plus a disjoint tail → ~40% dup rate
+    seen = (
+        spark.range(n)
+        .where(F.pmod("id", F.lit(5)) < 2)
+        .select(
+            url_hash(
+                F.format_string(
+                    "https://%s/p/%d?id=%d&ref=bench",
+                    F.format_string(
+                        "host-%05d.example",
+                        F.when(
+                            F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1)) % 100 < HOT_PCT,
+                            F.lit(0),
+                        ).otherwise(F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1)) % N_HOSTS),
+                    ),
+                    F.col("id"),
+                    F.col("id"),
+                )
+            ).alias("url_hash")
+        )
+    )
+    budgets = spark.range(0).select(
+        F.lit("x").alias("host"), F.lit(budget).alias("max_per_round"), F.lit(100).alias("crawl_delay_ms")
+    )
+    t0 = time.time()
+    pending = anti_join_seen(frontier, seen)
+    scheduled = schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
+    n_sched = scheduled.count()
+    wall = time.time() - t0
+    return {"n_input": n, "n_scheduled": n_sched, "wall_s": round(wall, 3), "rate": round(n / wall, 1)}
+
+
+HEADLINE = [
+    "frontier_dedup",
+    "politeness_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "scd2_rebuild",
+    "token_counts",
+    "exact_dup_flags",
+    "embedding_topk",
+    "minhash_neardups",
+    "crawl_rounds",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark("wcp-bench", cores=cpus, shuffle_partitions=cpus)
+    core = bench_frontier_core(spark, n_urls)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a broken query must not kill the bench line
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {ex}", file=sys.stderr)
+
+    out = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": core["rate"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf,
+        "frontier_core": core,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, frontier_from_seeds, run_crawl
+from web_crawling_prj_spark.plans.statestore import StateStore
+from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+
+@pytest.fixture(scope="module")
+def crawl_inputs(spark, sf_dir):
+    pages = pages_df(spark, sf_dir).cache()
+    robots = robots_df(spark)
+    seeds = seeds_df(spark, sf_dir)
+    max_doc = pages.agg(F.max("doc_id")).first()[0] + 1
+    cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25)
+    cfg.extra["max_doc_id"] = max_doc
+    yield pages, robots, seeds, cfg
+    pages.unpersist()
+
+
+def _final_state(store, spark):
+    seen = store.read_all(spark, "seen_delta")
+    log = store.read_all(spark, "fetch_log")
+    seen_set = frozenset(r.url_hash for r in seen.collect()) if seen is not None else frozenset()
+    sched_order = (
+        tuple(
+            (r.round_id, r.host, r.url_hash)
+            for r in log.orderBy("round_id", "host", "url_hash").collect()
+        )
+        if log is not None
+        else ()
+    )
+    return seen_set, sched_order
+
+
+def test_frontier_from_seeds_dedups(spark, sf_dir):
+    seeds = seeds_df(spark, sf_dir)
+    f = frontier_from_seeds(seeds)
+    assert f.count() == f.select("url_hash").distinct().count()
+    assert f.count() < seeds.count()  # duplicate seeds collapsed
+
+
+def test_three_rounds_end_to_end(spark, tmp_path, crawl_inputs):
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "s1"))
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
+    assert [s["round_id"] for s in stats] == [1, 2, 3]
+    assert all(s["scheduled"] > 0 for s in stats)
+    assert sum(s["ok"] for s in stats) > 0
+
+    # no URL fetched twice with status ok∪exhausted (seen-set monotone, no dup fetch)
+    log = store.read_all(spark, "fetch_log")
+    dup = (
+        log.where(~F.col("can_retry"))
+        .groupBy("url_hash")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    # extraction invariant: every ok fetch has byte-identical text to the store
+    joined = (
+        log.where(F.col("error_class") == "ok")
+        .join(pages.select(F.col("url").alias("url_canon"), "text"), "url_canon")
+        .where(~F.col("extracted_text").eqNullSafe(F.col("text")))
+    )
+    assert joined.count() == 0
+
+    # per-partition metrics landed
+    metrics = store.read_all(spark, "metrics")
+    assert metrics.where(F.col("scheduled_cnt") > 0).count() > 0
+
+
+def test_kill_resume_reproduces_state(spark, tmp_path, crawl_inputs):
+    pages, robots, seeds, cfg = crawl_inputs
+    a = StateStore(str(tmp_path / "a"))
+    run_crawl(spark, a, pages, robots, seeds, rounds=3, cfg=cfg)
+
+    # "killed" run: stop after round 1, then resume to 3
+    b = StateStore(str(tmp_path / "b"))
+    run_crawl(spark, b, pages, robots, seeds, rounds=1, cfg=cfg)
+    # simulate orphan garbage from a kill mid-round-2 (data written, no manifest)
+    orphan = b.root + "/frontier/round=000002"
+    store_df = b.read_round(spark, "frontier", 1).limit(3)
+    store_df.write.mode("overwrite").parquet(orphan)
+    run_crawl(spark, b, pages, robots, seeds, rounds=3, cfg=cfg)
+
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / "a"))
+    shutil.rmtree(str(tmp_path / "b"))
+
+
+def test_determinism_across_parallelism(spark, tmp_path, crawl_inputs):
+    """Same crawl at shuffle.partitions=3 vs 8 → identical schedule + seen set."""
+    pages, robots, seeds, cfg = crawl_inputs
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        s3 = StateStore(str(tmp_path / "p3"))
+        run_crawl(spark, s3, pages, robots, seeds, rounds=2, cfg=cfg)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        s8 = StateStore(str(tmp_path / "p8"))
+        run_crawl(spark, s8, pages, robots, seeds, rounds=2, cfg=cfg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _final_state(s3, spark) == _final_state(s8, spark)
+
+
+def test_robots_and_budget_invariants(spark, tmp_path, crawl_inputs):
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "inv"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    log = store.read_all(spark, "fetch_log")
+
+    # politeness: per (round, host) scheduled count ≤ budget
+    from web_crawling_prj_spark.operators.politeness import host_budgets
+
+    budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
+    over = (
+        log.groupBy("round_id", "host")
+        .agg(F.count("*").alias("n"))
+        .join(budgets, "host", "left")
+        .where(F.col("n") > F.coalesce("max_per_round", F.lit(cfg.default_budget)))
+    )
+    assert over.count() == 0
+
+    # robots: nothing fetched from a disallowed path
+    from web_crawling_prj_spark.operators.robots import path_of, robots_allows
+
+    fetched = log.join(F.broadcast(robots), "host", "left")
+    viol = fetched.where(~robots_allows(path_of("url_canon"), F.col("disallow_prefixes")))
+    assert viol.count() == 0

@@ -1,0 +1,159 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.politeness import batch_ids, host_budgets, schedule_round
+from web_crawling_prj_spark.operators.robots import (
+    gate_frontier,
+    parse_robots_txt,
+    parse_robots_udf,
+    robots_allows,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:
+    HAVE_HYPOTHESIS = False
+
+
+def _pending(spark, n=5000, hosts=7, hot_share=3):
+    # host 0 deliberately hot (~1/hot_share of rows)
+    return spark.range(n).select(
+        F.col("id").alias("doc"),
+        F.when(F.pmod("id", F.lit(hot_share)) == 0, F.lit("hot.example"))
+        .otherwise(F.format_string("h%d.example", F.pmod("id", F.lit(hosts))))
+        .alias("host"),
+        F.xxhash64("id").alias("url_hash"),
+        (F.pmod(F.col("id") * 31, F.lit(1000)) / 1000.0).alias("priority"),
+    )
+
+
+def _budgets(spark):
+    return spark.createDataFrame(
+        [("hot.example", 10, 500), ("h1.example", 3, 500), ("h2.example", 5, 0)],
+        "host string, max_per_round int, crawl_delay_ms int",
+    )
+
+
+def test_budget_never_exceeded(spark):
+    sched = schedule_round(_pending(spark), _budgets(spark), n_salts=4, default_budget=7)
+    counts = {r.host: r.n for r in sched.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts["hot.example"] <= 10
+    assert counts.get("h1.example", 0) <= 3
+    assert all(n <= 7 for h, n in counts.items() if h not in ("hot.example", "h1.example", "h2.example"))
+
+
+def test_salted_rank_equals_exact_rank(spark):
+    """Two-level salted top-k must EXACTLY equal the naive unsalted ranking."""
+    pending = _pending(spark, 3000)
+    budgets = _budgets(spark)
+    salted = schedule_round(pending, budgets, n_salts=8, default_budget=6)
+    naive = schedule_round(pending, budgets, n_salts=1, default_budget=6)
+    a = {(r.host, r.url_hash, r.host_rank) for r in salted.collect()}
+    b = {(r.host, r.url_hash, r.host_rank) for r in naive.collect()}
+    assert a == b
+
+
+def test_schedule_deterministic_across_runs(spark):
+    p = _pending(spark, 2000)
+    b = _budgets(spark)
+    s1 = sorted((r.host, r.url_hash, r.host_rank) for r in schedule_round(p, b).collect())
+    s2 = sorted((r.host, r.url_hash, r.host_rank) for r in schedule_round(p, b).collect())
+    assert s1 == s2
+
+
+def test_fetch_offset_and_proxy_slots(spark):
+    sched = schedule_round(_pending(spark, 500), _budgets(spark), default_budget=12)
+    rows = sched.where(F.col("host") == "hot.example").orderBy("host_rank").collect()
+    # politeness spacing: rank k fetches at (k-1)*crawl_delay
+    assert [r.fetch_offset_ms for r in rows] == [(r.host_rank - 1) * 500 for r in rows]
+    assert all(0 <= r.proxy_slot < 30 for r in rows)
+    batched = batch_ids(sched, batch_size=5)
+    assert batched.where(F.col("batch_id") != F.floor((F.col("host_rank") - 1) / 5)).count() == 0
+
+
+def test_host_budgets_from_robots(spark):
+    robots = spark.createDataFrame(
+        [("a.example", ["/p"], 1000), ("b.example", [], 0), ("c.example", [], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    b = {r.host: r.max_per_round for r in host_budgets(robots, 10_000, max_per_host=50).collect()}
+    assert b["a.example"] == 10  # 10s round / 1s delay
+    assert b["b.example"] == 50  # no delay → capped
+    assert b["c.example"] == 20  # default 500ms → 20
+
+
+def test_parse_robots_txt():
+    txt = """# comment
+User-agent: Googlebot
+Disallow: /google-only
+User-agent: *
+Disallow: /private
+Disallow: /tmp
+Crawl-delay: 2.5
+"""
+    dis, delay = parse_robots_txt(txt)
+    assert dis == ["/private", "/tmp"] and delay == 2500
+    assert parse_robots_txt(None) == ([], None)
+    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], None)
+
+
+def test_parse_robots_udf_and_gate(spark):
+    raw = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /blocked"), ("b.example", "")],
+        "host string, robots_txt string",
+    )
+    rules = raw.select("host", parse_robots_udf("robots_txt").alias("r")).select(
+        "host", "r.disallow_prefixes", "r.crawl_delay_ms"
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("a.example", "https://a.example/blocked/x"),
+            ("a.example", "https://a.example/fine"),
+            ("b.example", "https://b.example/anything"),
+            ("z.example", "https://z.example/no-rules"),
+        ],
+        "host string, url_canon string",
+    )
+    kept = {r.url_canon for r in gate_frontier(frontier, rules).collect()}
+    assert kept == {
+        "https://a.example/fine",
+        "https://b.example/anything",
+        "https://z.example/no-rules",
+    }
+
+
+def test_robots_allows_root_disallow(spark):
+    df = spark.createDataFrame([("/any/path", ["/"])], "path string, dis array<string>")
+    assert df.select(robots_allows(F.col("path"), F.col("dis")).alias("a")).first().a is False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        budget=st.integers(min_value=1, max_value=20),
+        n_salts=st.integers(min_value=1, max_value=16),
+    )
+    def test_property_budget_respected(budget, n_salts):
+        # session fixture not available inside hypothesis → use active session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        pending = _pending(spark, 600)
+        budgets = spark.createDataFrame(
+            [("hot.example", budget, 100)], "host string, max_per_round int, crawl_delay_ms int"
+        )
+        sched = schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
+        over = (
+            sched.groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > budget)
+            .count()
+        )
+        assert over == 0

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.scd2 import (
+    new_reviews_query,
+    scd2_apply_batch,
+    scd2_rebuild_from_history,
+    with_scd2_metadata,
+)
+
+PK = ["sku"]
+HASH_COLS = ["sku", "title", "price"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "sku string, title string, price double")
+
+
+def test_scd2_merge_matrix(spark):
+    """new key / changed hash / unchanged hash / re-appearing key — the merge
+    matrix of data_loader.py:767-804 (FIXTURES.md scd2_source)."""
+    t1 = "2025-01-01 00:00:00"
+    t2 = "2025-01-02 00:00:00"
+    t3 = "2025-01-03 00:00:00"
+
+    b1 = _batch(spark, [("a", "A", 1.0), ("b", "B", 2.0), ("c", "C", 3.0)])
+    cur = scd2_apply_batch(None, b1, PK, HASH_COLS, "src", t1)
+    assert cur.count() == 3
+    assert cur.where(F.col("row_is_latest") & (F.col("row_version_number") == 1)).count() == 3
+    assert cur.where(F.col("row_start_date") == "1900-01-01").count() == 3
+
+    # batch2: a unchanged, b changed, d new (c absent → untouched)
+    b2 = _batch(spark, [("a", "A", 1.0), ("b", "B", 2.5), ("d", "D", 4.0)])
+    cur = scd2_apply_batch(cur, b2, PK, HASH_COLS, "src", t2)
+    rows = {(r.sku, r.row_version_number): r for r in cur.collect()}
+    assert len(rows) == 5  # a1, b1(closed), b2, c1, d1
+    assert rows[("b", 1)].row_is_latest is False
+    assert str(rows[("b", 1)].row_end_date) == t2
+    assert rows[("b", 2)].row_is_latest is True and rows[("b", 2)].price == 2.5
+    assert str(rows[("b", 2)].row_start_date) == t2
+    assert rows[("a", 1)].row_is_latest is True  # unchanged hash → no-op
+    assert rows[("c", 1)].row_is_latest is True  # absent from batch → untouched
+    assert rows[("d", 1)].row_is_latest is True
+
+    # batch3: b changes back to original values → version 3 (re-appearing hash)
+    b3 = _batch(spark, [("b", "B", 2.0)])
+    cur = scd2_apply_batch(cur, b3, PK, HASH_COLS, "src", t3)
+    b_rows = {r.row_version_number: r for r in cur.where(F.col("sku") == "b").collect()}
+    assert set(b_rows) == {1, 2, 3}
+    assert b_rows[3].row_is_latest is True and b_rows[3].price == 2.0
+    assert b_rows[2].row_is_latest is False and str(b_rows[2].row_end_date) == t3
+    # exactly one latest row per pk
+    assert (
+        cur.where("row_is_latest").groupBy("sku").count().where("count > 1").count() == 0
+    )
+
+
+def test_scd2_hash_key_matches_duckdb_md5(spark):
+    b = _batch(spark, [("a", "T", 9.5), ("b", None, 2.0)])
+    got = {
+        r.sku: r.hash_key
+        for r in with_scd2_metadata(b, HASH_COLS, "s", "2025-01-01 00:00:00").collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT sku, md5(concat_ws('_', coalesce(CAST(sku AS VARCHAR),'None'), "
+            "coalesce(CAST(title AS VARCHAR),'None'), coalesce(CAST(price AS VARCHAR),'None'))) "
+            "FROM (VALUES ('a','T',CAST(9.5 AS DOUBLE)), ('b',NULL,CAST(2.0 AS DOUBLE))) t(sku,title,price)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_rebuild_matches_incremental(spark):
+    """Replaying batches through scd2_apply_batch must agree with the windowed
+    rebuild on (version, is_latest) per change event."""
+    t = ["2025-01-0%d 00:00:00" % d for d in (1, 2, 3)]
+    batches = [
+        _batch(spark, [("a", "A", 1.0), ("b", "B", 2.0)]),
+        _batch(spark, [("a", "A2", 1.0), ("b", "B", 2.0)]),
+        _batch(spark, [("a", "A3", 1.0)]),
+    ]
+    cur = None
+    events = []
+    for ts, b in zip(t, batches):
+        cur = scd2_apply_batch(cur, b, PK, HASH_COLS, "src", ts)
+    # history = the distinct (sku, hash) change events with their start ts
+    hist = spark.createDataFrame(
+        [("a", "A", 1.0, t[0]), ("a", "A2", 1.0, t[1]), ("a", "A3", 1.0, t[2]), ("b", "B", 2.0, t[0])],
+        "sku string, title string, price double, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    rb = scd2_rebuild_from_history(hist, PK)
+    inc = {
+        (r.sku, r.row_version_number): (r.row_is_latest, r.title)
+        for r in cur.collect()
+    }
+    for r in rb.collect():
+        assert inc[(r.sku, r.row_version_number)] == (r.row_is_latest, r.title)
+
+
+def test_new_reviews_lag_query(spark):
+    hist = spark.createDataFrame(
+        [
+            ("s1", 10, False, "2025-01-01"),
+            ("s1", 15, True, "2025-01-02"),  # +5 → reported
+            ("s2", 7, True, "2025-01-01"),  # single version → lag null → reported
+            ("s3", 9, False, "2025-01-01"),
+            ("s3", 9, True, "2025-01-02"),  # unchanged → not reported
+        ],
+        "display_sku string, review_count int, row_is_latest boolean, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    got = {r.display_sku: r.new_review_count for r in new_reviews_query(hist).collect()}
+    assert got == {"s1": 5, "s2": 7}

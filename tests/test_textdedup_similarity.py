@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from web_crawling_prj_spark.operators.textdedup import (
+    dedup_exact,
+    dedup_minhash,
+    exact_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    shingles_col,
+    simhash_candidate_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup of 0
+    (3, "completely different content about spark dataframes and shuffle partitions"),
+    (4, "THE QUICK   brown fox jumps over the lazy dog near the river bank today"),  # normalized dup of 0
+    (5, "another unrelated document mentioning bloom filters and url frontiers"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0].member_ids == [0, 1] and groups[0].keep_id == 0
+    kept = {r.doc_id for r in dedup_exact(docs).collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_normalized_dedup(docs):
+    kept = {r.doc_id for r in dedup_exact(docs, normalized=True).collect()}
+    assert kept == {0, 2, 3, 5}  # 4 collapses with 0 after case/space folding
+
+
+def test_minhash_pairs_and_dedup(docs):
+    pairs = minhash_candidate_pairs(docs, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always pairs
+    assert (2, 3) not in got and (0, 3) not in got  # unrelated never pairs
+    kept = {r.doc_id for r in dedup_minhash(docs, jaccard_threshold=0.5).collect()}
+    assert 0 in kept and 1 not in kept and 3 in kept and 5 in kept
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(pairs, docs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.05
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text string")
+    rows = df.select(shingles_col("text").alias("s")).collect()
+    assert rows[0].s == ["one two"]  # shorter than n → whole-doc shingle
+    assert rows[1].s == [""] or rows[1].s == []
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidate_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 4) in pairs and pairs[(0, 4)] == 0  # case/space don't change tokens
+    assert all(not (a == 0 and b == 3) for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(8).astype(np.float32)  # near-dup pair (3,7)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_native(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [round(r.c, 6) for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert got == [1.0, 0.0, 1.0]
+
+
+def test_brute_force_topk_self_is_best(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=5)
+    best = {r.query_id: r.vec_id for r in top.where("rank = 1").collect()}
+    assert best == {0: 0, 1: 1, 2: 2}  # each query's nearest neighbour is itself
+    assert top.groupBy("query_id").count().where("count != 5").count() == 0
+
+
+def test_lsh_topk_contains_self_and_neardup(spark, emb):
+    queries = emb.where("vec_id = 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = lsh_bucketed_topk(emb, queries, dim=8, k=5, n_planes=4)
+    ids = [r.vec_id for r in top.orderBy("rank").collect()]
+    assert ids[0] == 3 and 7 in ids  # near-dup shares the bucket virtually always
+
+
+def test_embedding_near_dup(spark, emb):
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, dim=8, threshold=0.99, n_planes=4).collect()}
+    assert (3, 7) in pairs

@@ -1,0 +1,73 @@
+"""Frontier ∖ seen — THE core crawl operator (SURVEY.md J1/U1).
+
+Reference semantics: Python set subtraction of canonical keys
+(``services/wayfair_service.py:196-252`` ``all_keys - success_keys``;
+``dags/wayfair/wayfair.dag_get_all_data.py:67-70``). Here it is a left-anti
+hash join on the salted 64-bit canonical-URL key, with two scale levers:
+
+1. **Bloom prefilter** (operators.bloom): provably-unseen rows skip the
+   shuffle entirely; only bloom-positive rows join exactly. With a frontier
+   that is mostly already-seen (steady-state crawling), this cuts shuffle
+   volume by the dup rate.
+2. **Broadcast or co-partitioned join**: the per-round `seen` delta is small →
+   broadcast; the full seen-set is huge → both sides are pre-partitioned by
+   ``pmod(url_hash, P)`` so the anti-join shuffles only the frontier once and
+   can reuse the seen-set's layout round over round (bucketed-table layout on
+   a real cluster).
+
+Also here: canonicalization-dedup of a raw URL batch (reference seed-list
+dedup, ``wayfair.dag_get_all_data.py:35``) keeping the best (priority,
+earliest) representative per canonical key — pure groupBy/min, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.bloom import ShardedBloom, might_contain
+
+
+def dedup_within_batch(frontier: DataFrame, key: str = "url_hash") -> DataFrame:
+    """Keep one row per key inside a batch: highest priority, then earliest
+    discovery, then stable arbitrary (min struct) — deterministic under any
+    partitioning (never first()-by-arrival).
+    """
+    other = [c for c in frontier.columns if c != key]
+    packed = frontier.select(
+        key,
+        F.struct(
+            (-F.coalesce(F.col("priority"), F.lit(0.0))).alias("_negp"),
+            *[F.col(c) for c in other],
+        ).alias("_row"),
+    )
+    best = packed.groupBy(key).agg(F.min("_row").alias("_row"))
+    return best.select(key, *[F.col(f"_row.{c}").alias(c) for c in other])
+
+
+def anti_join_seen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key: str = "url_hash",
+    bloom: ShardedBloom | None = None,
+    broadcast_seen: bool = False,
+    spark=None,
+) -> DataFrame:
+    """pending = frontier ∖ seen. Exact anti-join is always the authority;
+    the Bloom tier only routes provably-unseen rows around the shuffle."""
+    seen_keys = seen.select(key)
+    if broadcast_seen:
+        seen_keys = F.broadcast(seen_keys)
+    if bloom is None:
+        return frontier.join(seen_keys, key, "left_anti")
+    probed = frontier.withColumn("_maybe_seen", might_contain(bloom, key, spark=spark))
+    definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = candidates.join(seen_keys, key, "left_anti")
+    return definitely_new.unionByName(survivors)
+
+
+def failed_minus_succeeded(all_items: DataFrame, succeeded: DataFrame, key: str = "url_hash") -> DataFrame:
+    """Reference ``get_failed_product_variations`` (wayfair_service.py:196-252):
+    re-crawl set = all ∖ succeeded, same anti-join shape."""
+    return all_items.join(succeeded.select(key), key, "left_anti")

@@ -1,0 +1,172 @@
+"""Fetch stage: scheduled batch → fetch results (+extraction, +outlink discovery).
+
+Production shape (reference ``BaseSourceClient._make_single_request``,
+services/request_client.py:126-203): the fetch is I/O inside the data plane —
+here that is ``mapInPandas`` over the scheduled batch, one HTTP client per
+partition, honoring ``fetch_offset_ms`` spacing and ``proxy_slot``. The sandbox
+has no network, so the default fetcher is SYNTHETIC and deterministic: a join
+of the scheduled batch against the `pages` store (the "web"), with failures
+injected by seeded hash in reference-like class proportions
+(error taxonomy: services/error_handler.py:73-99). Both fetchers emit the same
+``fetch_log`` schema, so every downstream operator (retry, seen-set, metrics,
+SCD2 load) is fetcher-agnostic.
+
+Extraction runs inside the same stage via the Arrow UDF
+(functions.text.extract_text_udf) — byte-identical to the stored text
+(north-rule invariant). Outlink discovery derives new frontier rows from
+fetched pages (deterministic synthetic link graph), feeding the next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.hashing import url_hash
+from web_crawling_prj_spark.functions.text import extract_text_udf
+from web_crawling_prj_spark.functions.urls import host_of
+
+# ~3% failures, weighted toward transient classes (network/rate-limit/timeout).
+_FAILURE_LADDER = [
+    (100, "network_error", 503, "network"),
+    (150, "rate_limit", 429, None),
+    (180, "timeout", None, "timeout"),
+    (200, "proxy_error", None, "proxy"),
+    (210, "auth_error", 401, None),
+    (220, "token_expired", 403, None),
+    (250, "api_error", 400, None),
+    (280, "parsing_error", 200, "parsing"),
+]
+
+
+def synthetic_fetch(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    round_id: int,
+    round_ts,
+    failure_per_mille: int = 28,
+) -> DataFrame:
+    """Deterministic fetch: look up each scheduled URL in the page store.
+
+    - URL not in store → http 404 (api_error, no retry — budget 0);
+    - seeded roll < threshold → injected failure by class ladder;
+    - otherwise ok + byte-identical extracted text.
+
+    The join is on ``url_canon``: pages-side key is canonical by construction
+    (the store is keyed the same way the seen-set is). At scale `pages` is the
+    big side; the scheduled batch is the small side → Catalyst broadcasts the
+    batch, and the page store is never shuffled.
+    """
+    page_payload = pages.select(
+        F.col("url").alias("url_canon"),
+        "warc_ts",
+        "html",
+        F.col("text").alias("_expected_text"),
+        "lang",
+        F.col("doc_id").alias("page_doc_id"),
+    )
+    j = scheduled.join(page_payload, "url_canon", "left")
+
+    roll = F.pmod(F.xxhash64(F.lit(round_id), F.col("url_canon")), F.lit(10_000))
+    # scale ladder thresholds to the requested overall failure rate
+    scale = failure_per_mille * 10 / 280.0
+    status = F.lit("ok")
+    http = F.lit(200)
+    kind = F.lit(None).cast("string")
+    for cum, cls, code, k in reversed(_FAILURE_LADDER):
+        status = F.when(roll < int(cum * scale), F.lit(cls)).otherwise(status)
+        http = F.when(roll < int(cum * scale), F.lit(code).cast("int")).otherwise(http)
+        kind = F.when(roll < int(cum * scale), F.lit(k).cast("string")).otherwise(kind)
+    missing = F.col("page_doc_id").isNull()
+    status = F.when(missing, F.lit("api_error")).otherwise(status)
+    http = F.when(missing, F.lit(404)).otherwise(http)
+    kind = F.when(missing, F.lit(None).cast("string")).otherwise(kind)
+
+    fetched = j.withColumns(
+        {
+            "round_id": F.lit(round_id),
+            "error_class_injected": status,
+            "http_code": http,
+            "error_kind": kind,
+            "fetched_ts": F.lit(round_ts).cast("timestamp")
+            + F.make_interval(secs=F.col("fetch_offset_ms") / 1000.0),
+            "attempt": F.coalesce(F.col("attempt"), F.lit(0)) + 1,
+        }
+    )
+    ok = F.col("error_class_injected") == "ok"
+    fetched = fetched.withColumn(
+        "extracted_text", F.when(ok, extract_text_udf("html"))
+    )
+    return fetched.select(
+        "round_id",
+        "url_hash",
+        "url_canon",
+        "host",
+        "priority",
+        "depth",
+        "attempt",
+        "http_code",
+        "error_kind",
+        "fetched_ts",
+        "proxy_slot",
+        "page_doc_id",
+        "extracted_text",
+        "lang",
+    )
+
+
+def discover_outlinks(
+    fetch_log: DataFrame,
+    links_per_page: int = 3,
+    max_doc_id: int | None = None,
+    dead_link_pct: int = 5,
+) -> DataFrame:
+    """Synthetic link graph: page doc_id → `links_per_page` target doc_ids.
+
+    Deterministic (pure function of doc_id). Targets live at their TRUE host
+    (pages_gen.host_for_doc) so links resolve like a real web; `dead_link_pct`%
+    point at a nonexistent host (404 path). Emits frontier-shaped rows with
+    lineage (src_url_hash). Expressed with sequence+explode — no Python,
+    scales linearly.
+    """
+    from web_crawling_prj_spark.sources.pages_gen import host_for_doc
+
+    ok = fetch_log.where(F.col("extracted_text").isNotNull())
+    links = ok.select(
+        F.col("url_hash").alias("src_url_hash"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("fetched_ts").alias("discovered_ts"),
+        F.col("page_doc_id").alias("src_doc"),
+        F.explode(F.sequence(F.lit(1), F.lit(links_per_page))).alias("k"),
+    )
+    tgt_raw = F.pmod(
+        F.pmod(F.col("src_doc"), F.lit(1_000_003)) * F.lit(31) + F.col("k") * F.lit(2654435761),
+        F.lit(1_000_003),
+    )
+    tgt = F.pmod(tgt_raw, F.lit(max_doc_id)) if max_doc_id else tgt_raw
+    dead = F.pmod(F.col("src_doc") * F.lit(7) + F.col("k"), F.lit(100)) < dead_link_pct
+    tgt_host = F.when(dead, F.lit("host-9999.example")).otherwise(host_for_doc(tgt))
+    url = F.format_string("https://%s/doc/%d?id=%d&ref=seed", tgt_host, tgt, tgt)
+    out = links.select(
+        url.alias("url"),
+        url.alias("url_canon"),  # built canonical by construction
+        (F.lit(0.5) + F.pmod(tgt, F.lit(500)) / 1000.0).alias("priority"),
+        "depth",
+        "discovered_ts",
+        "src_url_hash",
+    )
+    return out.withColumns(
+        {"url_hash": url_hash(F.col("url_canon")), "host": host_of(F.col("url_canon"))}
+    )
+
+
+def real_fetch_stub(scheduled: DataFrame) -> DataFrame:
+    """Production HTTP fetcher: mapInPandas with an HTTP client per partition,
+    honoring fetch_offset_ms/proxy_slot. The sandbox has no network access, so
+    this is a clearly-marked stub; the Spark-side plumbing (schema, partitioning
+    by host, Arrow batching) is exercised by synthetic_fetch.
+    """
+    raise NotImplementedError(
+        "no network in sandbox — use synthetic_fetch; a production impl does "
+        "mapInPandas(fetch_partition, FETCH_LOG_SCHEMA) with httpx per partition"
+    )

@@ -1,0 +1,183 @@
+"""SCD2 incremental warehouse merge — reference UniversalDataLoader, Spark-first.
+
+Reference semantics (utils/common/db_loader/data_loader.py:639-816), replayed
+exactly but as ONE DataFrame program instead of a chunked temp-table dance:
+
+1. source batch → select cols, rename, ``hash_key = md5('_'.join(str(col)))``
+   over the configured hash_cols (:690-701, :393-402);
+2. rows whose pk matches a latest row with a DIFFERENT hash close that row
+   (``row_end_date = now, row_is_latest = false``) and insert a new version
+   with ``row_version_number = prev + 1`` (:775-804);
+3. brand-new pks insert as version 1;
+4. unchanged rows (same hash) are no-ops.
+
+Metadata columns match ETLConfig (data_loader.py:23-37, 287-325):
+row_start_date ('1900-01-01' for first version), row_end_date ('9999-12-31'
+open), row_is_latest, row_is_delete, row_version_number, created_at,
+modified_at, from_src, hash_key.
+
+With Iceberg this would be a single ``MERGE INTO``; the sandbox has no Iceberg
+jars, so :func:`scd2_apply_batch` produces the new full table functionally
+(current ∖ closed ∪ closed' ∪ inserts) — the same rows a MERGE would leave,
+checkpointable via plans.statestore. :func:`scd2_rebuild_from_history` derives
+the SCD2 columns for a whole history in one windowed pass (used for oracle
+parity with DuckDB SQL).
+
+At scale: the merge joins current-latest with the batch on pk — both sides
+hash-partitioned on pk; history rows (is_latest=false) are untouched and never
+shuffled. Batches are tiny vs the table → broadcast the batch side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.hashing import md5_row_hash
+
+OPEN_END = "9999-12-31 00:00:00"
+FIRST_START = "1900-01-01 00:00:00"
+
+META_COLS = [
+    "hash_key",
+    "row_start_date",
+    "row_end_date",
+    "row_is_latest",
+    "row_is_delete",
+    "row_version_number",
+    "created_at",
+    "modified_at",
+    "from_src",
+]
+
+
+def with_scd2_metadata(
+    batch: DataFrame, hash_cols: list[str], from_src: str, load_ts: str
+) -> DataFrame:
+    """add_metadata_columns parity (data_loader.py:287-325) for a fresh batch."""
+    ts = F.lit(load_ts).cast("timestamp")
+    return batch.withColumns(
+        {
+            "hash_key": md5_row_hash(hash_cols),
+            "row_start_date": F.lit(FIRST_START).cast("timestamp"),
+            "row_end_date": F.lit(OPEN_END).cast("timestamp"),
+            "row_is_latest": F.lit(True),
+            "row_is_delete": F.lit(False),
+            "row_version_number": F.lit(1),
+            "created_at": ts,
+            "modified_at": ts,
+            "from_src": F.lit(from_src),
+        }
+    )
+
+
+def scd2_apply_batch(
+    current: DataFrame | None,
+    batch: DataFrame,
+    primary_key: list[str],
+    hash_cols: list[str],
+    from_src: str,
+    load_ts: str,
+) -> DataFrame:
+    """Apply one batch to the SCD2 table; returns the new full table.
+
+    Equivalent to the reference's UPDATE+MERGE+INSERT transaction
+    (data_loader.py:767-804) and to an Iceberg MERGE INTO with the same
+    predicates.
+    """
+    staged = with_scd2_metadata(
+        batch.dropDuplicates(primary_key), hash_cols, from_src, load_ts
+    )
+    if current is None:
+        return staged
+
+    ts = F.lit(load_ts).cast("timestamp")
+    latest = current.where(F.col("row_is_latest"))
+    history = current.where(~F.col("row_is_latest"))
+
+    src = staged.select(
+        *[F.col(c).alias(f"_src_{c}") for c in staged.columns]
+    )
+    join_cond = [latest[k] == src[f"_src_{k}"] for k in primary_key]
+    j = latest.join(src, on=join_cond, how="full_outer")
+
+    src_present = src[f"_src_{primary_key[0]}"].isNotNull()
+    tgt_present = latest[primary_key[0]].isNotNull()
+    changed = src_present & tgt_present & (latest["hash_key"] != src["_src_hash_key"])
+
+    # 1) untouched latest rows (absent from batch, or unchanged hash)
+    untouched = j.where(tgt_present & (~src_present | (latest["hash_key"] == src["_src_hash_key"]))).select(
+        *[latest[c] for c in current.columns]
+    )
+    # 2) closed-out old versions (MERGE WHEN MATCHED AND hash≠ → UPDATE :785-796)
+    closed = j.where(changed).select(
+        *[
+            latest[c]
+            for c in current.columns
+            if c not in ("row_end_date", "row_is_latest", "modified_at")
+        ],
+        ts.alias("row_end_date"),
+        F.lit(False).alias("row_is_latest"),
+        ts.alias("modified_at"),
+    ).select(*[F.col(c) for c in current.columns])
+    # 3) new versions for changed rows (second INSERT :798-804): version = prev+1,
+    #    row_start_date = load_ts
+    bumped = j.where(changed).select(
+        *[
+            src[f"_src_{c}"].alias(c)
+            for c in staged.columns
+            if c not in ("row_version_number", "row_start_date")
+        ],
+        (latest["row_version_number"] + 1).alias("row_version_number"),
+        ts.alias("row_start_date"),
+    ).select(*[F.col(c) for c in staged.columns])
+    # 4) brand-new keys (MERGE WHEN NOT MATCHED → INSERT, version 1)
+    fresh = j.where(src_present & ~tgt_present).select(
+        *[src[f"_src_{c}"].alias(c) for c in staged.columns]
+    )
+
+    return history.unionByName(untouched).unionByName(closed).unionByName(bumped).unionByName(fresh)
+
+
+def scd2_rebuild_from_history(
+    history: DataFrame, primary_key: list[str], order_col: str = "created_at"
+) -> DataFrame:
+    """Derive SCD2 columns for an append-only change history in one windowed
+    pass — row_version_number / row_is_latest / row_start_date / row_end_date
+    per pk ordered by ``order_col``. SQL-expressible (oracle parity W3)."""
+    w = Window.partitionBy(*primary_key).orderBy(F.col(order_col).asc())
+    wdesc = Window.partitionBy(*primary_key).orderBy(F.col(order_col).desc())
+    return (
+        history.withColumn("row_version_number", F.row_number().over(w))
+        .withColumn("_rn_desc", F.row_number().over(wdesc))
+        .withColumn("row_is_latest", F.col("_rn_desc") == 1)
+        .withColumn(
+            "row_start_date",
+            F.when(F.col("row_version_number") == 1, F.lit(FIRST_START).cast("timestamp")).otherwise(
+                F.col(order_col)
+            ),
+        )
+        .withColumn(
+            "row_end_date",
+            F.coalesce(F.lead(order_col, 1).over(w), F.lit(OPEN_END).cast("timestamp")),
+        )
+        .drop("_rn_desc")
+    )
+
+
+def new_reviews_query(history: DataFrame) -> DataFrame:
+    """Reference LAG query parity (utils/common/db_loader/data_reader.py:13-21):
+    latest rows whose review_count changed vs the previous version."""
+    w = Window.partitionBy("display_sku").orderBy(F.col("created_at").asc())
+    return (
+        history.withColumn("last_review_count", F.lag("review_count").over(w))
+        .where(F.col("row_is_latest") & (~F.col("review_count").eqNullSafe(F.col("last_review_count"))))
+        .select(
+            "display_sku",
+            "review_count",
+            "last_review_count",
+            (F.col("review_count") - F.coalesce("last_review_count", F.lit(0))).alias(
+                "new_review_count"
+            ),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale doctrine:
+- **Brute-force cosine top-k** (the correctness baseline): queries are a small
+  set → broadcast cross join against the embedding table; the dot product is a
+  native ``aggregate(zip_with(...))`` expression (JVM-side, no Python); top-k
+  via window over query_id. Cost O(|Q|·N) — fine for |Q| small at any N, since
+  the big table is scanned once and never shuffled (the window partitions by
+  query, and rows are pre-filtered to k·|Q| candidates per partition if needed).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signs (seeded
+  numpy matmul in an Arrow UDF — one BLAS call per batch) bucket vectors;
+  queries probe their own bucket (+ optional multi-probe neighbors), exact
+  cosine re-rank inside the bucket. Recall < 1 by design; the oracle records a
+  rows-only check for it while the brute-force variant is the value-checked one.
+
+Also: pairwise embedding near-duplicate detection (cosine ≥ τ) via the same
+bucketing — the "embedding-cosine near-dup" tier of the dedup family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+SEED = 42
+
+
+def _vec(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Native dot product: aggregate(zip_with(a, b, *), sum) — codegen'd."""
+    prods = F.zip_with(_vec(a), _vec(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    v = _vec(a)
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. Broadcast the (small) query side; the
+    embedding table is scanned once, map-side; the only shuffle is the
+    per-query top-k window over |Q|·N scored rows (pre-reduced map-side by
+    Spark's TakeOrdered when followed by limit, and prunable via AQE)."""
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = SEED):
+    """Arrow UDF: vector → n-bit random-hyperplane sign signature (one matmul
+    per Arrow batch). The plane matrix is a deterministic function of
+    (seed, dim, n_planes) regenerated per executor — no driver shipping."""
+
+    @F.pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) >= 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return _sig
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN: bucket by hyperplane signature, exact re-rank within bucket.
+
+    At 100 TB the bucketed table is written once partitioned by signature and
+    re-used by every query batch; a query touches ~N/2^p rows. Recall is
+    approximate (single-probe) — use brute_force_topk as the gold standard.
+    """
+    sig = hyperplane_signature_udf(dim, n_planes)
+    emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col)))
+    q_b = queries.withColumn("bucket", sig(F.col(query_vec_col)))
+    scored = emb_b.join(F.broadcast(q_b), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, cos_sim ≥ τ) pairs within an LSH bucket — the
+    embedding-cosine tier of the dedup family."""
+    sig = hyperplane_signature_udf(dim, n_planes)
+    b = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", sig(F.col("v"))
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)

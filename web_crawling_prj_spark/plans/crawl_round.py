@@ -1,0 +1,283 @@
+"""The crawl round — one Spark job per round, the engine's flagship plan.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1, dags/common/
+base_source_dag.py): branch(mode) → build frontier → dedup vs seen → schedule
+batches with politeness → fetch with retries → persist results + summary.
+Here every boundary is a stage inside one declarative plan:
+
+    frontier ──(bloom + left-anti vs seen)──► pending
+    pending ──(robots gate, broadcast)──► allowed
+    allowed ──(salted 2-level top-k per host)──► scheduled
+    scheduled ──(synthetic/mapInPandas fetch + Arrow extract)──► fetch_log
+    fetch_log ──(classify, budgets, backoff)──► retries
+    fetch_log ──(outlink discovery)──► discovered
+    retries ∪ discovered ∪ leftover ──► next frontier
+    commit atomically: seen-delta, fetch_log, frontier, per-partition metrics
+
+Scale decisions, explicit:
+- seen-set partitioned by pmod(url_hash, P); the anti-join shuffles the
+  frontier once on the same key (bucketed layout reusable round over round);
+- budgets/robots are per-host (tiny) → broadcast joins, never shuffled;
+- hot-host skew bounded by the salted two-level rank (operators.politeness);
+- the fetch join broadcasts the scheduled batch against the page store, so the
+  100 TB side never moves;
+- per-partition lineage counters are computed by seen-bucket (deterministic,
+  unlike spark_partition_id) and land in the metrics table each round.
+
+Determinism: every ordering is (priority DESC, url_hash), every random draw is
+a seeded hash → identical crawl ordering and final seen-set at local[8] vs
+local[32] and across kill/resume (tests/test_crawl_round.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.hashing import bucket_of, url_hash
+from web_crawling_prj_spark.functions.urls import canonicalize_url_udf, host_of
+from web_crawling_prj_spark.operators.bloom import build_sharded_bloom
+from web_crawling_prj_spark.operators.dedup import anti_join_seen, dedup_within_batch
+from web_crawling_prj_spark.operators.fetch import discover_outlinks, synthetic_fetch
+from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
+from web_crawling_prj_spark.operators.retry import classify_fetch_log, host_circuit_state
+from web_crawling_prj_spark.operators.robots import gate_frontier
+from web_crawling_prj_spark.plans.statestore import StateStore
+
+FRONTIER_COLS = [
+    "url",
+    "url_canon",
+    "url_hash",
+    "host",
+    "priority",
+    "depth",
+    "discovered_ts",
+    "src_url_hash",
+    "attempt",
+    "next_eligible_ts",
+]
+
+
+@dataclass
+class CrawlConfig:
+    num_buckets: int = 16  # seen-set shards (P)
+    n_salts: int = 16  # politeness skew salts
+    round_duration_ms: int = 30_000
+    max_per_host: int = 40
+    default_budget: int = 40
+    bloom_fpp: float = 0.01
+    bloom_expected_per_shard: int = 200_000
+    use_bloom: bool = True
+    links_per_page: int = 3
+    failure_per_mille: int = 28
+    base_ts: str = "2025-06-01 00:00:00"
+    extra: dict = field(default_factory=dict)
+
+    def round_ts(self, round_id: int) -> str:
+        # each round advances wall-clock by round_duration (driver-side, deterministic)
+        from datetime import datetime, timedelta
+
+        t0 = datetime.fromisoformat(self.base_ts)
+        return (t0 + timedelta(milliseconds=round_id * self.round_duration_ms)).isoformat(sep=" ")
+
+
+def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
+    """Seeds → frontier rows: canonicalize, hash, dedup within batch."""
+    f = (
+        seeds.withColumn("url_canon", canonicalize_url_udf("url"))
+        .withColumn("url_hash", url_hash("url_canon"))
+        .withColumn("host", host_of("url_canon"))
+        .withColumns(
+            {
+                "depth": F.coalesce(F.col("depth"), F.lit(0)),
+                "discovered_ts": F.lit(None).cast("timestamp"),
+                "src_url_hash": F.lit(None).cast("long"),
+                "attempt": F.lit(0),
+                "next_eligible_ts": F.lit(None).cast("timestamp"),
+            }
+        )
+        .select(*FRONTIER_COLS)
+    )
+    return dedup_within_batch(f, key="url_hash")
+
+
+def init_crawl(spark: SparkSession, store: StateStore, seeds: DataFrame, cfg: CrawlConfig) -> None:
+    """Round 0: commit the seed frontier and an empty seen-set."""
+    frontier = frontier_from_seeds(seeds).repartition(cfg.num_buckets, "url_hash")
+    empty_seen = spark.createDataFrame(
+        [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
+    )
+    empty_log = None  # no fetch_log at round 0
+    tables = {"frontier": frontier, "seen_delta": empty_seen}
+    if empty_log is not None:
+        tables["fetch_log"] = empty_log
+    store.commit_round(0, tables, extra_meta={"kind": "init"})
+
+
+def run_round(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    cfg: CrawlConfig,
+) -> dict:
+    """Execute one crawl round and commit its state atomically."""
+    round_ts = cfg.round_ts(round_id)
+    frontier = store.read_round(spark, "frontier", round_id - 1)
+    seen = store.read_all(spark, "seen_delta", up_to=round_id - 1)
+
+    # 1) backoff gate (reference C10): only rows whose next_eligible_ts has passed
+    eligible = frontier.where(
+        F.col("next_eligible_ts").isNull() | (F.col("next_eligible_ts") <= F.lit(round_ts).cast("timestamp"))
+    )
+    deferred = frontier.where(
+        F.col("next_eligible_ts").isNotNull() & (F.col("next_eligible_ts") > F.lit(round_ts).cast("timestamp"))
+    )
+
+    # 2) dedup vs seen (bloom prefilter + exact anti-join)
+    if seen is not None:
+        bloom = (
+            build_sharded_bloom(
+                seen,
+                num_shards=cfg.num_buckets,
+                expected_per_shard=cfg.bloom_expected_per_shard,
+                fpp=cfg.bloom_fpp,
+            )
+            if cfg.use_bloom
+            else None
+        )
+        pending = anti_join_seen(eligible, seen, bloom=bloom, spark=spark)
+    else:
+        pending = eligible
+
+    # 3) robots gate (broadcast join + codegen'd prefix predicate)
+    allowed = gate_frontier(pending, robots)
+
+    # 4) circuit breaker (reference C12): quarantine hosts with open circuits
+    prior_log = store.read_all(spark, "fetch_log", up_to=round_id - 1)
+    if prior_log is not None:
+        circuits = host_circuit_state(classify_fetch_log(prior_log))
+        open_hosts = circuits.where(
+            F.col("quarantined_until").isNotNull()
+            & (F.col("quarantined_until") > F.lit(round_ts).cast("timestamp"))
+        ).select("host")
+        allowed = allowed.join(F.broadcast(open_hosts), "host", "left_anti")
+
+    # 5) politeness schedule (salted two-level exact top-k per host)
+    budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
+    scheduled = schedule_round(
+        allowed, budgets, n_salts=cfg.n_salts, default_budget=cfg.default_budget
+    )
+    # frontier rows that lost the budget race stay pending for the next round
+    leftover = allowed.join(scheduled.select("url_hash"), "url_hash", "left_anti").select(
+        *FRONTIER_COLS
+    )
+
+    # 6) fetch + extract (synthetic deterministic fetcher; same schema as real)
+    fetch_log = synthetic_fetch(
+        scheduled, pages, round_id, round_ts, failure_per_mille=cfg.failure_per_mille
+    )
+    fetch_log = classify_fetch_log(fetch_log)
+
+    # 7) retries re-enter the frontier with backoff; exhausted rows tombstone
+    retries = (
+        fetch_log.where(F.col("can_retry"))
+        .select(
+            F.col("url_canon").alias("url"),
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            "depth",
+            F.col("fetched_ts").alias("discovered_ts"),
+            F.lit(None).cast("long").alias("src_url_hash"),
+            "attempt",
+            "next_eligible_ts",
+        )
+        .select(*FRONTIER_COLS)
+    )
+
+    # 8) outlink discovery feeds the next frontier
+    max_doc = cfg.extra.get("max_doc_id")
+    discovered = discover_outlinks(
+        fetch_log, links_per_page=cfg.links_per_page, max_doc_id=max_doc
+    ).withColumns({"attempt": F.lit(0), "next_eligible_ts": F.lit(None).cast("timestamp")})
+    discovered = discovered.select(*FRONTIER_COLS)
+
+    next_frontier = dedup_within_batch(
+        leftover.unionByName(deferred).unionByName(retries).unionByName(discovered),
+        key="url_hash",
+    ).repartition(cfg.num_buckets, "url_hash")
+
+    # 9) seen-delta: everything scheduled this round (fetched or failed —
+    # failures re-enter via the retry path, not by staying "unseen";
+    # reference: a fetched-and-failed sku is re-derived from mode='failed')
+    seen_delta = fetch_log.where(~F.col("can_retry")).select(
+        "url_hash",
+        bucket_of("url_hash", cfg.num_buckets).alias("bucket"),
+        F.lit(round_id).alias("first_seen_round"),
+        F.col("fetched_ts").alias("first_seen_ts"),
+    )
+
+    # 10) per-partition lineage counters (north rule C20) — by seen bucket
+    metrics = (
+        fetch_log.groupBy(bucket_of("url_hash", cfg.num_buckets).alias("bucket"))
+        .agg(
+            F.count("*").alias("scheduled_cnt"),
+            F.sum(F.when(F.col("error_class") == "ok", 1).otherwise(0)).alias("fetched_ok_cnt"),
+            F.sum(F.when(F.col("error_class") != "ok", 1).otherwise(0)).alias("failed_cnt"),
+            F.sum(F.when(F.col("can_retry"), 1).otherwise(0)).alias("retried_cnt"),
+        )
+        .withColumn("round_id", F.lit(round_id))
+    )
+
+    store.commit_round(
+        round_id,
+        {
+            "frontier": next_frontier,
+            "seen_delta": seen_delta,
+            "fetch_log": fetch_log.drop("max_attempts"),
+            "metrics": metrics,
+        },
+        extra_meta={"round_ts": round_ts},
+    )
+    summary = {
+        r["bucket"]: (r["scheduled_cnt"], r["fetched_ok_cnt"], r["failed_cnt"])
+        for r in metrics.collect()
+    }
+    totals = [sum(v[i] for v in summary.values()) for i in range(3)]
+    return {
+        "round_id": round_id,
+        "scheduled": totals[0],
+        "ok": totals[1],
+        "failed": totals[2],
+        "per_bucket": summary,
+    }
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    cfg: CrawlConfig | None = None,
+) -> list[dict]:
+    """Drive `rounds` crawl rounds, resuming from the last committed round.
+
+    Reference C17: a killed run re-derives pending work from committed state —
+    here that is literally `last_committed_round() + 1`.
+    """
+    cfg = cfg or CrawlConfig()
+    last = store.last_committed_round()
+    if last is None:
+        init_crawl(spark, store, seeds, cfg)
+        last = 0
+    stats = []
+    for r in range(last + 1, rounds + 1):
+        stats.append(run_round(spark, store, pages, robots, r, cfg))
+    return stats

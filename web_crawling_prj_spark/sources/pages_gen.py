@@ -49,6 +49,15 @@ def _mix(col, k: int):
     return F.pmod(c * F.lit(2654435761) + F.lit(SEED * k), F.lit(2**31 - 1))
 
 
+def host_for_doc(doc_col):
+    """The authoritative doc→host assignment (shared with the synthetic link
+    graph so outlinks resolve to real pages)."""
+    host_id = F.when(_mix(doc_col, 1) % 100 < HOT_HOST_PCT, F.lit(0)).otherwise(
+        _mix(doc_col, 2) % N_HOSTS
+    )
+    return F.format_string("host-%04d.example", host_id)
+
+
 def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
     """Build the `pages` table from documents.parquet — deterministic, columnar.
 
@@ -56,12 +65,9 @@ def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFr
     host, unsorted query, fragment) so canonicalization-dedup has real work.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    host_id = F.when(
-        _mix(F.col("doc_id"), 1) % 100 < HOT_HOST_PCT, F.lit(0)
-    ).otherwise(_mix(F.col("doc_id"), 2) % N_HOSTS)
     base = docs.select(
         "doc_id",
-        F.format_string("host-%04d.example", host_id).alias("host"),
+        host_for_doc(F.col("doc_id")).alias("host"),
         (_mix(F.col("doc_id"), 3) % 1000 / 1000.0).alias("priority"),
         "text",
         F.coalesce("lang", F.lit("und")).alias("lang"),
