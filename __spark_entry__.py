@@ -362,6 +362,16 @@ def q_md5_business_key(spark, sf_dir):
     )
 
 
+def q_json_props_extract(spark, sf_dir):
+    """F12: nested JSON path extraction from the events props payload."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: whitespace + BPE-ish token counts per document."""
     d = _t(spark, sf_dir, "documents")
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_last_day": q_month_last_day,
         "url_param_parse": q_url_param_parse,
         "md5_business_key": q_md5_business_key,
+        "json_props_extract": q_json_props_extract,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -712,6 +723,12 @@ SELECT p_partkey,
                           coalesce(CAST(p_name AS VARCHAR), 'None'),
                           coalesce(CAST(p_brand AS VARCHAR), 'None'))) AS hash_key
 FROM part
+""",
+        "json_props_extract": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
 """,
         "token_counts": r"""
 SELECT doc_id,

@@ -1,0 +1,92 @@
+"""Nested-payload extraction — the reference's JSON-wrangling surface (F12-F19).
+
+Everything stays native (from_json / higher-order functions / get_json_object):
+the reference's 66-line Python dict-walkers (e.g. ``process_info_data``,
+dags/data_warehouse/wayfair.init_dag_iload_wayfair.py:80-145) become single
+Column expressions that Catalyst prunes and codegens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def json_path(col: Column | str, path: str) -> Column:
+    """F12: nested JSON path extraction (reference chained dict access,
+    request_client.py:394-400)."""
+    return F.get_json_object(_c(col), path)
+
+
+def first_struct_match(arr: Column | str, field: str, value, out_field: str) -> Column:
+    """F13: first element of an array<struct> whose ``field`` equals ``value``,
+    returning its ``out_field`` (reference priceBlockElements search,
+    wayfair.init_dag_iload_wayfair.py:39-56). Null when no match."""
+    matches = F.filter(_c(arr), lambda s: s[field] == F.lit(value))
+    return F.element_at(matches, 1)[out_field]
+
+
+def explode_map_keys_split(df: DataFrame, map_col: str, sep: str = "-", out_col: str = "parts") -> DataFrame:
+    """F14: explode map keys and split each (reference optionComboToPartId,
+    services/wayfair_service.py:77-83)."""
+    return df.withColumn("_key", F.explode(F.map_keys(_c(map_col)))).withColumn(
+        out_col, F.split(F.col("_key"), sep)
+    )
+
+
+def filename_to_key(col: Column | str, suffix: str = ".json", sep: str = "_") -> Column:
+    """F3: filename → key parts (reference ``file.replace('.json','').split('_')``,
+    services/wayfair_service.py:136-148)."""
+    return F.split(F.regexp_replace(_c(col), f"\\{suffix}$", ""), sep)
+
+
+def template_substitute(col: Column | str, substitutions: dict[str, str]) -> Column:
+    """F11: ``__PLACEHOLDER__`` template substitution (reference report payloads,
+    services/gg_ads_service.py:89-99)."""
+    out = _c(col)
+    for k, v in substitutions.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+def to_local_timestamp(ts: Column | str, tz: str) -> Column:
+    """F10: UTC → local wall time (reference ZoneInfo conversions,
+    services/walmart_ad_service.py:62)."""
+    return F.from_utc_timestamp(_c(ts), tz)
+
+
+def month_name_to_last_day(col: Column | str) -> Column:
+    """F7: "April 2025" → 2025-04-30 (gg_ads.init_dag_iload_gg_ads.py:42-48)."""
+    return F.last_day(F.to_date(_c(col), "MMMM yyyy"))
+
+
+def clean_percent(col: Column | str) -> Column:
+    """F5: percent-string cleanup → fraction (gg_ads.init_dag_iload_gg_ads.py:24-39):
+    trim, '< 10%'→'9.99', strip '%', '--'→'0', cast, /100."""
+    s = F.trim(_c(col))
+    s = F.regexp_replace(s, "^< 10%$", "9.99")
+    s = F.regexp_replace(s, "%", "")
+    s = F.regexp_replace(s, "^--$", "0")
+    return s.cast("double") / 100.0
+
+
+def pivot_first(df: DataFrame, index: str, pivot_col: str, value_col: str, values: list | None = None) -> DataFrame:
+    """A5: pivot_table(aggfunc='first') parity (walmart_seller_service.py:163-169)."""
+    g = df.groupBy(index)
+    p = g.pivot(pivot_col, values) if values is not None else g.pivot(pivot_col)
+    return p.agg(F.first(value_col))
+
+
+def paginate(df: DataFrame, total_pages_col: str, page_col: str = "page") -> DataFrame:
+    """O5: pagination fan-out — once a response reports its total page count,
+    emit one frontier row per remaining page (reference while-loop
+    process_reviews_with_pagination, request_client.py:322-412) as a native
+    sequence+explode (no driver loop)."""
+    return df.withColumn(
+        page_col,
+        F.explode(F.sequence(F.lit(2), F.greatest(_c(total_pages_col), F.lit(1)))),
+    )

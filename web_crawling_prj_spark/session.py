@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # hash joins over sort-merge for the hash-keyed crawl joins; AQE
+        # skew-splitting keeps partitions bounded so SHJ stays safe
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -47,8 +50,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # Local mode: shuffle through RAM. The sandbox's virtual disk writes at
+    # ~340 MB/s and would serialize every shuffle; on a real cluster each
+    # executor shuffles to its own local NVMe, which /dev/shm models better.
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp"))
     # Only force a master when not already provided by spark-submit.
     if "SPARK_MASTER" in os.environ or master.startswith("local"):
         b = b.master(master)

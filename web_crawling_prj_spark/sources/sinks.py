@@ -1,0 +1,95 @@
+"""Sinks — the reference's output surfaces re-expressed on Spark (S10-S17).
+
+| ref | reference behavior | here |
+|-----|--------------------|------|
+| S10 | one JSON file per item, filename = business key | key-column partitioned/appended parquet (filename-as-key becomes a column) |
+| S11 | CSV with QUOTE_ALL (base_db_load_dag.py:103) | csv writer with quoteAll |
+| S12 | S3 upload (utils/s3.py:66-118) | ``df.write.parquet("s3a://…")`` — same call, path scheme only |
+| S13 | JDBC append (data_loader.py:464-506) | ``jdbc_append`` |
+| S14 | truncate+reload (data_loader.py:434-462) | overwrite mode / partition overwrite |
+| S16 | zip→CSV decode (walmart_seller_service.py:113-123) | real zipfile decode inside mapInPandas |
+| S17 | zip-folder backup (bak.backup_data_to_sharepoint.py) | statestore manifest snapshot covers it |
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_keyed(df: DataFrame, path: str, key_col: str, mode: str = "append", partition_cols: list[str] | None = None) -> None:
+    """S10: the reference writes one file per key (``{sku}.json``); at scale the
+    key is a COLUMN and rows land in partitioned parquet — same idempotence
+    (re-writing a key round is an overwrite of its partition), no tiny files."""
+    w = df.withColumn("_key", F.col(key_col)).write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, quote_all: bool = True, header: bool = True) -> None:
+    """S11: CSV sink with QUOTE_ALL parity (csv.QUOTE_ALL in the reference)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("quoteAll", str(quote_all).lower())
+        .csv(path)
+    )
+
+
+def jdbc_append(df: DataFrame, url: str, table: str, **opts) -> None:
+    """S13: JDBC append (no DB in sandbox; surface kept for parity)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+def truncate_reload(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """S14: truncate+append ≡ overwrite; with partition columns Spark's dynamic
+    partition overwrite replaces only touched partitions."""
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def unzip_csv_rows(df: DataFrame, blob_col: str = "zip_blob", csv_opts: dict | None = None) -> DataFrame:
+    """S16: binary zip payload → rows of its first CSV member, decoded inside
+    mapInPandas (reference `_zip_file_to_csv`). Output schema: source row's key
+    columns + csv text line columns parsed by pandas."""
+    keys = [c for c in df.columns if c != blob_col]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as z:
+                    name = z.namelist()[0]
+                    body = z.read(name).decode("utf-8")
+                sub = pd.read_csv(io.StringIO(body), dtype=str, **(csv_opts or {}))
+                for k in keys:
+                    sub[k] = row[k]
+                frames.append(sub)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    # schema: keys + discovered csv columns; caller passes a sample to fix it
+    sample = df.limit(1).collect()
+    if not sample:
+        raise ValueError("cannot infer zip-csv schema from an empty DataFrame")
+    blob = bytes(sample[0][blob_col])
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        cols = pd.read_csv(io.StringIO(z.read(z.namelist()[0]).decode()), dtype=str, nrows=0, **(csv_opts or {})).columns
+    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != blob_col)
+    csv_schema = ", ".join(f"`{c}` string" for c in cols)
+    schema = ", ".join(x for x in [csv_schema, key_schema] if x)
+    return df.mapInPandas(fn, schema=schema)

@@ -1,0 +1,109 @@
+"""Structured Streaming surface: continuous frontier ingest.
+
+The reference is batch-cron (SURVEY.md §2.11 — no streaming exists there), and
+the engine's crawl rounds are deliberately batch jobs. This module covers the
+CONTINUOUS half a production deployment still needs: URL discoveries trickling
+in (from parsers, sitemaps, uploads) between rounds. Design:
+
+- ``stream_frontier``: readStream over the frontier drop-zone (parquet/json
+  files) → canonicalize (Arrow UDF) → hash → watermarked streaming dedup
+  (``dropDuplicatesWithinWatermark`` on url_hash — the streaming analog of the
+  seen-set for in-flight duplicates; the authoritative cross-round dedup stays
+  the batch anti-join);
+- ``host_rate_stats``: sliding-window per-host discovery counts with late-data
+  watermark — feeds the politeness budgets of the next round;
+- ``sink_to_frontier``: foreachBatch bridge appending micro-batches into the
+  round store layout (exactly-once per micro-batch via checkpointLocation).
+
+All stateful steps declare explicit watermarks so state is bounded at
+web-scale input rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from web_crawling_prj_spark.functions.hashing import url_hash
+from web_crawling_prj_spark.functions.urls import canonicalize_url_udf, host_of
+
+DISCOVERY_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("depth", IntegerType()),
+        StructField("discovered_ts", TimestampType()),
+    ]
+)
+
+
+def stream_frontier(
+    spark: SparkSession,
+    drop_zone: str,
+    fmt: str = "parquet",
+    watermark: str = "10 minutes",
+    dedup: bool = True,
+) -> DataFrame:
+    """Streaming discoveries → canonicalized, hashed, in-flight-deduped rows."""
+    raw = spark.readStream.format(fmt).schema(DISCOVERY_SCHEMA).load(drop_zone)
+    out = (
+        raw.withColumn("url_canon", canonicalize_url_udf("url"))
+        .withColumn("url_hash", url_hash("url_canon"))
+        .withColumn("host", host_of("url_canon"))
+        .withWatermark("discovered_ts", watermark)
+    )
+    if dedup:
+        out = out.dropDuplicatesWithinWatermark(["url_hash"])
+    return out
+
+
+def host_rate_stats(
+    discoveries: DataFrame,
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Sliding-window per-host discovery rates (budget input for next rounds)."""
+    return (
+        discoveries.groupBy(F.window("discovered_ts", window, slide), "host")
+        .agg(
+            F.count("*").alias("n_discovered"),
+            F.approx_count_distinct("url_hash").alias("n_distinct_approx"),
+            F.max("priority").alias("max_priority"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "host",
+            "n_discovered",
+            "n_distinct_approx",
+            "max_priority",
+        )
+    )
+
+
+def sink_to_frontier(discoveries: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch bridge: append micro-batches to the batch-round drop table.
+
+    foreachBatch + checkpointLocation gives exactly-once appends per epoch; the
+    batch round's within-batch dedup + seen anti-join make replays harmless
+    anyway (idempotent by key), mirroring the reference's file-per-key
+    idempotence (dags/common/base_source_dag.py:107-114).
+    """
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        discoveries.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
