@@ -481,11 +481,14 @@ def q_crawl_rounds(spark, sf_dir):
     from web_crawling_prj_spark.plans.statestore import StateStore
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
-    pages = pages_df(spark, sf_dir)
+    pages = pages_df(spark, sf_dir).persist()
     cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25, use_bloom=False)
     cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
     store = StateStore(tempfile.mkdtemp(prefix="wcp_entry_"))
-    run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
+    try:
+        run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
+    finally:
+        pages.unpersist()
     log = store.read_all(spark, "fetch_log")
     return log.select(
         "round_id", "url_hash", "url_canon", "host", "attempt", "http_code", "error_class"

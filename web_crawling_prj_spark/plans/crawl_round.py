@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from web_crawling_prj_spark.functions.hashing import bucket_of, url_hash
 from web_crawling_prj_spark.functions.urls import canonicalize_url_udf, host_of
-from web_crawling_prj_spark.operators.bloom import build_sharded_bloom
+from web_crawling_prj_spark.operators.bloom import (
+    bloom_from_bytes,
+    bloom_to_bytes,
+    build_sharded_bloom,
+    merge_blooms,
+)
 from web_crawling_prj_spark.operators.dedup import anti_join_seen, dedup_within_batch
 from web_crawling_prj_spark.operators.fetch import discover_outlinks, synthetic_fetch
 from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
@@ -137,18 +142,23 @@ def run_round(
         F.col("next_eligible_ts").isNotNull() & (F.col("next_eligible_ts") > F.lit(round_ts).cast("timestamp"))
     )
 
-    # 2) dedup vs seen (bloom prefilter + exact anti-join)
+    # 2) dedup vs seen (bloom prefilter + exact anti-join). The bloom is
+    # maintained INCREMENTALLY: the cumulative bitmap rides along in the state
+    # store (puffin-style sidecar) and each round ORs in a delta built from its
+    # own (small) seen_delta — the full seen-set is never rescanned.
+    bloom = None
     if seen is not None:
-        bloom = (
-            build_sharded_bloom(
-                seen,
-                num_shards=cfg.num_buckets,
-                expected_per_shard=cfg.bloom_expected_per_shard,
-                fpp=cfg.bloom_fpp,
-            )
-            if cfg.use_bloom
-            else None
-        )
+        if cfg.use_bloom:
+            raw = store.load_bloom(round_id - 1)
+            if raw is not None:
+                bloom = bloom_from_bytes(raw)
+            else:  # first bloom round (or store predates blooms): one-time build
+                bloom = build_sharded_bloom(
+                    seen,
+                    num_shards=cfg.num_buckets,
+                    expected_per_shard=cfg.bloom_expected_per_shard,
+                    fpp=cfg.bloom_fpp,
+                )
         pending = anti_join_seen(eligible, seen, bloom=bloom, spark=spark)
     else:
         pending = eligible
@@ -166,21 +176,28 @@ def run_round(
         ).select("host")
         allowed = allowed.join(F.broadcast(open_hosts), "host", "left_anti")
 
-    # 5) politeness schedule (salted two-level exact top-k per host)
+    # 5) politeness schedule (salted two-level exact top-k per host).
+    # `allowed` feeds both the schedule and the leftover anti-join, and
+    # `scheduled` feeds both fetch and leftover — persist both so the
+    # dedup/robots/window stages run once per round.
+    allowed = allowed.persist()
     budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
     scheduled = schedule_round(
         allowed, budgets, n_salts=cfg.n_salts, default_budget=cfg.default_budget
-    )
+    ).persist()
     # frontier rows that lost the budget race stay pending for the next round
     leftover = allowed.join(scheduled.select("url_hash"), "url_hash", "left_anti").select(
         *FRONTIER_COLS
     )
 
-    # 6) fetch + extract (synthetic deterministic fetcher; same schema as real)
+    # 6) fetch + extract (synthetic deterministic fetcher; same schema as real).
+    # The fetch log feeds FOUR consumers (next frontier, seen delta, metrics,
+    # its own commit) — persist it so the fetch+extract stage runs once, not
+    # once per committed table.
     fetch_log = synthetic_fetch(
         scheduled, pages, round_id, round_ts, failure_per_mille=cfg.failure_per_mille
     )
-    fetch_log = classify_fetch_log(fetch_log)
+    fetch_log = classify_fetch_log(fetch_log).persist()
 
     # 7) retries re-enter the frontier with backoff; exhausted rows tombstone
     retries = (
@@ -244,10 +261,27 @@ def run_round(
         },
         extra_meta={"round_ts": round_ts},
     )
+    # maintain the cumulative bloom sidecar: delta bloom over this round's
+    # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap
+    if cfg.use_bloom:
+        delta = build_sharded_bloom(
+            seen_delta,
+            num_shards=cfg.num_buckets,
+            expected_per_shard=cfg.bloom_expected_per_shard,
+            fpp=cfg.bloom_fpp,
+        )
+        merged = merge_blooms(bloom, delta) if bloom is not None else delta
+        store.save_bloom(round_id, bloom_to_bytes(merged))
+
+    # summarize from the COMMITTED metrics parquet — no recompute of the DAG
+    committed_metrics = store.read_round(spark, "metrics", round_id)
     summary = {
         r["bucket"]: (r["scheduled_cnt"], r["fetched_ok_cnt"], r["failed_cnt"])
-        for r in metrics.collect()
+        for r in committed_metrics.collect()
     }
+    fetch_log.unpersist()
+    allowed.unpersist()
+    scheduled.unpersist()
     totals = [sum(v[i] for v in summary.values()) for i in range(3)]
     return {
         "round_id": round_id,

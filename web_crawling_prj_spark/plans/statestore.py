@@ -89,6 +89,26 @@ class StateStore:
         os.rename(tmp, self._manifest_path(round_id))  # the atomic commit point
         return meta
 
+    # --- sketch sidecars (Iceberg-style puffin analog: bloom bytes per round) ---
+
+    def save_bloom(self, round_id: int, data: bytes) -> None:
+        """Persist the cumulative seen-set bloom alongside the round. Written
+        after the manifest; a round whose bloom is missing (kill in between)
+        falls back to a one-time rebuild from the seen-set — never wrong,
+        because the bloom is an optimization tier only."""
+        path = os.path.join(self.root, "_manifests", f"{round_id:06d}.bloom")
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".btmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+
+    def load_bloom(self, round_id: int) -> bytes | None:
+        path = os.path.join(self.root, "_manifests", f"{round_id:06d}.bloom")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
     # --- read path (only committed rounds are visible) ---
 
     def read_round(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
