@@ -425,7 +425,84 @@ def q_embedding_topk(spark, sf_dir):
     return brute_force_topk(e, q, k=5).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q_asof_purchase_before_error(spark, sf_dir):
+    """As-of join (engine operator asof_join_native): for every error event,
+    the user's latest purchase at-or-before it. DuckDB oracle uses ASOF JOIN."""
+    from web_crawling_prj_spark.operators.asof import asof_join_native
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pval")
+    )
+    out = asof_join_native(errors, purchases, "user_id", "ts", "pts", ["pval"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("pts_asof", "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
+        F.round("pval", 2).alias("prev_purchase_value"),
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization (gap 30 min) over user event streams."""
+    from web_crawling_prj_spark.operators.asof import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30).select(
+        "event_id", "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    )
+
+
+def q_rollup_order_counts(spark, sf_dir):
+    """ROLLUP aggregation (status × priority hierarchy with subtotals)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("total_cents"))
+    )
+
+
 # --- non-SQL-expressible (rows-only checks) ---
+
+
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters: minhash pairs → connected components →
+    component sizes (iterative algorithm; rows-only check)."""
+    from web_crawling_prj_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, jaccard_threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("keep_id"))
+        .orderBy("component")
+    )
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """PageRank over a derived host-level link graph (iterative; rows-only)."""
+    from web_crawling_prj_spark.operators.graph import pagerank
+
+    f = _frontier(spark, sf_dir)
+    edges = f.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, iterations=8)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def q_frontier_cardinality(spark, sf_dir):
+    """Approx-distinct + quantile sketch metrics over the frontier (sketches
+    are engine-specific — rows-only)."""
+    f = _frontier(spark, sf_dir)
+    return f.agg(
+        F.approx_count_distinct("url").alias("approx_urls"),
+        F.approx_count_distinct("host").alias("approx_hosts"),
+        F.round(F.percentile_approx("priority", 0.5), 4).alias("p50_priority"),
+        F.round(F.percentile_approx("priority", 0.99), 4).alias("p99_priority"),
+    )
 
 def q_minhash_neardups(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs over documents (rows-only check)."""
@@ -531,11 +608,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_by_lang": q_docs_by_lang,
         "exact_dup_flags": q_exact_dup_flags,
         "embedding_topk": q_embedding_topk,
+        "asof_purchase_before_error": q_asof_purchase_before_error,
+        "sessionize_events": q_sessionize_events,
+        "rollup_order_counts": q_rollup_order_counts,
         # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
+        "dedup_components": q_dedup_components,
+        "pagerank_hosts": q_pagerank_hosts,
+        "frontier_cardinality": q_frontier_cardinality,
         "crawl_rounds": q_crawl_rounds,
     }
 
@@ -786,6 +869,33 @@ SELECT doc_id, fingerprint,
        min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
        doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
 FROM f
+""",
+        "asof_purchase_before_error": """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts AS pts, value AS pval FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id,
+       strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS prev_purchase_ts,
+       round(p.pval, 2) AS prev_purchase_value
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+""",
+        "sessionize_events": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g
+""",
+        "rollup_order_counts": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),

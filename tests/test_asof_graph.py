@@ -1,0 +1,138 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.asof import asof_join_native, asof_join_pandas, sessionize
+from web_crawling_prj_spark.operators.graph import (
+    connected_components,
+    dedup_by_components,
+    pagerank,
+    priority_from_pagerank,
+)
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t("2025-01-01 10:00:00"), "e1"),
+            (1, _t("2025-01-01 12:00:00"), "e2"),
+            (2, _t("2025-01-01 09:00:00"), "e3"),
+            (3, _t("2025-01-01 09:00:00"), "e4"),  # key with no right rows
+        ],
+        "user_id long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t("2025-01-01 09:30:00"), 10.0),
+            (1, _t("2025-01-01 11:00:00"), 20.0),
+            (1, _t("2025-01-01 12:00:00"), 25.0),  # tie ts: inclusive
+            (2, _t("2025-01-01 23:00:00"), 99.0),  # after left → no match
+        ],
+        "user_id long, rts timestamp, price double",
+    )
+    return left, right
+
+
+def _expected():
+    return {
+        ("e1"): 10.0,
+        ("e2"): 25.0,  # tie at 12:00 is inclusive
+        ("e3"): None,
+        ("e4"): None,
+    }
+
+
+def test_asof_native(asof_data):
+    left, right = asof_data
+    out = asof_join_native(left, right, "user_id", "ts", "rts", ["price"])
+    got = {r.ev: r.price for r in out.collect()}
+    assert got == _expected()
+
+
+def test_asof_pandas_matches_native(asof_data):
+    left, right = asof_data
+    a = {r.ev: r.price for r in asof_join_native(left, right, "user_id", "ts", "rts", ["price"]).collect()}
+    b = {r.ev: r.price for r in asof_join_pandas(left, right, "user_id", "ts", "rts", ["price"]).collect()}
+    assert a == b
+
+
+def test_asof_matches_duckdb(asof_data):
+    left, right = asof_data
+    lp = left.toPandas()
+    rp = right.toPandas()
+    con = duckdb.connect()
+    con.register("l", lp)
+    con.register("r", rp)
+    want = {
+        row[0]: row[1]
+        for row in con.sql(
+            "SELECT l.ev, r.price FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts"
+        ).fetchall()
+    }
+    got = {r.ev: r.price for r in asof_join_native(left, right, "user_id", "ts", "rts", ["price"]).collect()}
+    assert got == want
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, _t("2025-01-01 10:00:00")),
+        (1, _t("2025-01-01 10:10:00")),  # same session (gap 10m)
+        (1, _t("2025-01-01 11:30:00")),  # new session (gap 80m)
+        (2, _t("2025-01-01 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    sess = {(r.user_id, str(r.ts)[11:16]): r.session_seq for r in out}
+    assert sess == {(1, "10:00"): 1, (1, "10:10"): 1, (1, "11:30"): 2, (2, "10:00"): 1}
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3 + pair 10-11 + triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_by_components_transitive(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    # a-b-c chain: pair rule alone would keep 3 (no pair 1-3); components drop both 2 and 3
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = {r.doc_id for r in dedup_by_components(docs, pairs).collect()}
+    assert kept == {0, 1, 4, 5}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    # star: everyone links to 0; 0 links to 1
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(edges, iterations=15).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved incl. dangling
+    assert pr[0] == max(pr.values())
+    assert pr[1] > pr[2] == pr[3]
+
+
+def test_priority_from_pagerank(spark):
+    frontier = spark.createDataFrame(
+        [(100, 0.5), (200, 0.5), (300, 0.5)], "url_hash long, priority double"
+    )
+    log = spark.createDataFrame(
+        [(None, 100), (100, 200), (300, 200), (200, 300)],
+        "src_url_hash long, url_hash long",
+    )
+    out = {r.url_hash: r.priority for r in priority_from_pagerank(frontier, log).collect()}
+    # linked pages (200, 300 form the in-link cycle) beat the unlinked root;
+    # exact 200-vs-300 order depends on power-iteration parity in this 2-cycle
+    assert min(out[200], out[300]) > out[100]
+    assert all(0.0 <= p <= 1.0 for p in out.values())

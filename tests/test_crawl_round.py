@@ -135,3 +135,37 @@ def test_robots_and_budget_invariants(spark, tmp_path, crawl_inputs):
     fetched = log.join(F.broadcast(robots), "host", "left")
     viol = fetched.where(~robots_allows(path_of("url_canon"), F.col("disallow_prefixes")))
     assert viol.count() == 0
+
+
+def test_failed_mode_frontier(spark, tmp_path, crawl_inputs):
+    from web_crawling_prj_spark.plans.crawl_round import failed_mode_frontier
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "fm"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    fm = failed_mode_frontier(spark, store)
+    rows = fm.collect()
+    assert len(rows) > 0  # unknown seeds 404 permanently
+    assert all(r.attempt == 0 and r.next_eligible_ts is None for r in rows)
+    # every failed-mode url really is a permanent failure in the log
+    log = store.read_all(spark, "fetch_log")
+    perm = {
+        r.url_hash
+        for r in log.where((F.col("error_class") != "ok") & (~F.col("can_retry"))).collect()
+    }
+    assert {r.url_hash for r in rows} <= perm
+
+
+def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    cfg2 = dataclasses.replace(cfg, pagerank_weight=0.4)
+    cfg2.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    store = StateStore(str(tmp_path / "pr"))
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg2)
+    assert all(s["scheduled"] > 0 for s in stats)
+    # determinism holds with pagerank enabled
+    store2 = StateStore(str(tmp_path / "pr2"))
+    run_crawl(spark, store2, pages, robots, seeds, rounds=3, cfg=cfg2)
+    assert _final_state(store, spark) == _final_state(store2, spark)

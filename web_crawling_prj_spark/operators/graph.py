@@ -1,0 +1,150 @@
+"""Iterative graph operators over edge DataFrames (driver-looped Spark jobs).
+
+Two crawl/corpus-relevant algorithms, both expressed as converging sequences
+of joins/aggregations (no GraphX — DataFrame-only, checkpoint-friendly):
+
+- :func:`connected_components` — min-label propagation to a fixpoint. Used to
+  turn near-duplicate PAIRS (minhash/simhash/embedding tiers) into duplicate
+  CLUSTERS so dedup keeps exactly one representative per transitive group
+  (the pair-rule alone under-deletes chains a-b-c).
+- :func:`pagerank` — power iteration over the outlink graph; feeds the
+  frontier's ``priority`` column so the politeness queue crawls important
+  pages first (reference priority is a static seed-list order; this is the
+  scale upgrade).
+
+Scale notes: each iteration is one shuffle on the edge key; intermediates are
+persisted and the lineage is cut every ``checkpoint_every`` iterations via
+localCheckpoint (iterative plans otherwise grow unboundedly and re-execute).
+Convergence is data-dependent: components needs O(diameter) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    Input: undirected edge list. Isolated nodes absent from `pairs` are
+    trivially their own component (callers union them in if needed).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).persist()
+    for i in range(max_iter):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            labels.join(neighbor, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("n_comp", F.col("component"))).alias("component"),
+                (F.coalesce("n_comp", F.col("component")) < F.col("component")).alias("_chg"),
+            )
+        ).persist()
+        changed = updated.where("_chg").count()
+        old = labels
+        labels = updated.drop("_chg")
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Transitive near-dup dedup: keep the min-id representative per cluster."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank) power iteration; dangling mass redistributed uniformly."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().persist()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
+    n = nodes.count()
+    if n == 0:  # empty graph (e.g. round 1: seeds have no lineage yet)
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # dangling nodes (no outlinks) leak mass; conserve it uniformly
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def priority_from_pagerank(frontier: DataFrame, link_log: DataFrame, weight: float = 0.5) -> DataFrame:
+    """Blend crawl priority with normalized pagerank of the discovered graph
+    (edges: src_url_hash → url_hash from discovery lineage)."""
+    edges = link_log.where(F.col("src_url_hash").isNotNull()).select(
+        F.col("src_url_hash").alias("src"), F.col("url_hash").alias("dst")
+    )
+    pr = pagerank(edges)
+    mx = pr.agg(F.max("rank")).first()[0] or 1.0
+    pr_n = pr.select(F.col("node").alias("url_hash"), (F.col("rank") / mx).alias("_prn"))
+    return (
+        frontier.join(pr_n, "url_hash", "left")
+        .withColumn(
+            "priority",
+            (1 - weight) * F.col("priority") + weight * F.coalesce("_prn", F.lit(0.0)),
+        )
+        .drop("_prn")
+    )

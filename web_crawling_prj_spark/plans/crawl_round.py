@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_crawling_prj_spark.functions.hashing import bucket_of, url_hash
@@ -78,6 +78,10 @@ class CrawlConfig:
     links_per_page: int = 3
     failure_per_mille: int = 28
     base_ts: str = "2025-06-01 00:00:00"
+    # blend link-graph PageRank into frontier priority each round (0 = off).
+    # Deterministic (power iteration over committed lineage), so resume/
+    # parallelism invariants hold with it enabled.
+    pagerank_weight: float = 0.0
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -133,6 +137,17 @@ def run_round(
     round_ts = cfg.round_ts(round_id)
     frontier = store.read_round(spark, "frontier", round_id - 1)
     seen = store.read_all(spark, "seen_delta", up_to=round_id - 1)
+
+    # 0) optional importance re-prioritization from the discovered link graph
+    if cfg.pagerank_weight > 0:
+        from web_crawling_prj_spark.operators.graph import priority_from_pagerank
+
+        lineage = store.read_all(spark, "frontier", up_to=round_id - 1)
+        if lineage is not None:
+            link_log = lineage.where(F.col("src_url_hash").isNotNull()).select(
+                "src_url_hash", "url_hash"
+            )
+            frontier = priority_from_pagerank(frontier, link_log, weight=cfg.pagerank_weight)
 
     # 1) backoff gate (reference C10): only rows whose next_eligible_ts has passed
     eligible = frontier.where(
@@ -290,6 +305,31 @@ def run_round(
         "failed": totals[2],
         "per_bucket": summary,
     }
+
+
+def failed_mode_frontier(spark: SparkSession, store: StateStore) -> DataFrame | None:
+    """Reference mode='failed' branch (C14, dags/common/base_source_dag.py:93-104):
+    rebuild a frontier containing ONLY permanently-failed URLs (retry budget
+    exhausted), attempt counters reset — the operator a new run uses to re-crawl
+    yesterday's failures after fixing credentials/proxies."""
+    log = store.read_all(spark, "fetch_log")
+    if log is None:
+        return None
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round_id"), F.desc("attempt"))
+    latest = log.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
+    failed = latest.where((F.col("error_class") != "ok") & (~F.col("can_retry")))
+    return failed.select(
+        F.col("url_canon").alias("url"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "depth",
+        F.col("fetched_ts").alias("discovered_ts"),
+        F.lit(None).cast("long").alias("src_url_hash"),
+        F.lit(0).alias("attempt"),
+        F.lit(None).cast("timestamp").alias("next_eligible_ts"),
+    ).select(*FRONTIER_COLS)
 
 
 def run_crawl(
