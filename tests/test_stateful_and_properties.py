@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.streaming.ingest import stream_frontier
+from web_crawling_prj_spark.streaming.stateful import politeness_gate_stream
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:
+    HAVE_HYPOTHESIS = False
+
+
+def test_token_bucket_stream(spark, tmp_path):
+    """Burst of 15 urls for one host at the same second: burst=10 admitted,
+    5 deferred; a second host with 2 urls sails through."""
+    t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+    rows = [("https://hot.example/p%d" % i, 0.5, 0, t0) for i in range(15)]
+    rows += [("https://cold.example/p%d" % i, 0.5, 0, t0) for i in range(2)]
+    df = spark.createDataFrame(rows, "url string, priority double, depth int, discovered_ts timestamp")
+    drop = str(tmp_path / "drop")
+    df.coalesce(1).write.parquet(drop)
+
+    s = stream_frontier(spark, drop, dedup=False)
+    gated = politeness_gate_stream(s, rate_per_s=2.0, burst=10.0)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM gate_out").collect()
+    hot = [r for r in out if r.host == "hot.example"]
+    cold = [r for r in out if r.host == "cold.example"]
+    assert sum(r.admitted for r in hot) == 10 and sum(not r.admitted for r in hot) == 5
+    assert all(r.admitted for r in cold) and len(cold) == 2
+
+
+def test_token_bucket_state_persists_across_batches(spark, tmp_path):
+    """Second micro-batch starts from the drained bucket, refilled by elapsed time."""
+    t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+    drop = str(tmp_path / "drop2")
+    b1 = [("https://h.example/a%d" % i, 0.5, 0, t0) for i in range(10)]  # drains burst
+    spark.createDataFrame(b1, "url string, priority double, depth int, discovered_ts timestamp").coalesce(1).write.parquet(drop)
+
+    out_dir = str(tmp_path / "gate2_out")
+
+    def run_batch():
+        s = stream_frontier(spark, drop, dedup=False)
+        gated = politeness_gate_stream(s, rate_per_s=2.0, burst=10.0)
+        # memory sink can't recover a checkpoint across restarts → parquet bridge
+        q = (
+            gated.writeStream.foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    # batch 2: 5 urls 1 second later → only 2 tokens refilled (2 rps)
+    b2 = [("https://h.example/b%d" % i, 0.5, 0, t0 + dt.timedelta(seconds=1)) for i in range(5)]
+    spark.createDataFrame(b2, "url string, priority double, depth int, discovered_ts timestamp").coalesce(1).write.mode("append").parquet(drop)
+    run_batch()
+    out = spark.read.parquet(out_dir).collect()
+    second = [r for r in out if "/b" in r.url_canon]
+    assert len(second) == 5 and sum(r.admitted for r in second) == 2
+
+
+if HAVE_HYPOTHESIS:
+    from web_crawling_prj_spark.functions.urls import canonicalize_url
+
+    url_strategy = st.builds(
+        lambda scheme, host, port, segs, q, frag: (
+            f"{scheme}://{host}{port}/" + "/".join(segs) + (("?" + "&".join(q)) if q else "") + (("#" + frag) if frag else "")
+        ),
+        scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+        host=st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9\-]{0,10}[A-Za-z0-9])?(\.[A-Za-z]{2,5}){1,2}", fullmatch=True),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        segs=st.lists(st.sampled_from(["a", "b", "..", ".", "x%2Fy", "p%61th", "café"]), max_size=5),
+        q=st.lists(st.sampled_from(["a=1", "b=2", "a=", "flag", "z=%7e"]), max_size=4),
+        frag=st.sampled_from(["", "frag", "a/b"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(url=url_strategy)
+    def test_canonicalize_idempotent_property(url):
+        c = canonicalize_url(url)
+        assert canonicalize_url(c) == c
+        # canonical urls never carry fragments or uppercase scheme/host
+        assert "#" not in c
+        head = c.split("/", 3)[2] if "://" in c else c
+        assert head == head.lower()
+
+    @settings(max_examples=100, deadline=None)
+    @given(url=url_strategy)
+    def test_canonicalize_preserves_query_multiset(url):
+        from urllib.parse import urlsplit
+
+        c = canonicalize_url(url)
+        n_raw = len([p for p in urlsplit(url).query.split("&") if p])
+        n_canon = len([p for p in urlsplit(c).query.split("&") if p])
+        assert n_raw == n_canon  # sorting, never dropping
