@@ -1,0 +1,141 @@
+"""Regression tests for the code-review findings (round 1 review pass)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.functions.extract import clean_percent, first_struct_match, paginate
+from web_crawling_prj_spark.functions.urls import canonicalize_url
+from web_crawling_prj_spark.operators.dedup import dedup_within_batch
+from web_crawling_prj_spark.operators.retry import (
+    classify_fetch_log,
+    host_circuit_state,
+    update_circuit_state,
+)
+from web_crawling_prj_spark.operators.scd2 import scd2_apply_batch
+from web_crawling_prj_spark.plans.reports import ReportJob, ReportServiceConfig, SyntheticReportService, run_report_pipeline
+from web_crawling_prj_spark.sources.readers import read
+
+
+def test_canonicalize_percent_encoded_dot_segments():
+    # %2E%2E decodes to '..' and must be resolved (idempotence)
+    assert canonicalize_url("https://example.com/a/%2E%2E/b") == "https://example.com/b"
+    c = canonicalize_url("https://example.com/a/%2e/b/%2E%2E/c")
+    assert canonicalize_url(c) == c == "https://example.com/a/c"
+
+
+def test_first_struct_match_no_match_is_null(spark):
+    df = spark.createDataFrame(
+        [([{"k": "a", "v": "1"}],), ([],)], "arr array<struct<k string, v string>>"
+    )
+    rows = df.select(first_struct_match("arr", "k", "zzz", "v").alias("out")).collect()
+    assert [r.out for r in rows] == [None, None]  # no ANSI element_at crash
+
+
+def test_paginate_single_page_fans_out_nothing(spark):
+    df = spark.createDataFrame([(1, 1), (2, 0), (3, 4)], "id int, total int")
+    out = paginate(df, "total").collect()
+    got = sorted((r.id, r.page) for r in out)
+    assert got == [(3, 2), (3, 3), (3, 4)]  # totals 1 and 0 emit zero pages
+
+
+def test_clean_percent_coerces_garbage(spark):
+    df = spark.createDataFrame([("5%",), ("N/A",), ("",)], "s string")
+    vals = [r.v for r in df.select(clean_percent("s").alias("v")).collect()]
+    assert vals[0] == pytest.approx(0.05)
+    assert vals[1] is None and vals[2] is None  # coerce, never crash (ANSI)
+
+
+def test_report_threshold_is_ceil(spark):
+    # 5 jobs, 2 failures: ceil(5/2)=3 → must NOT abort (round() would)
+    jobs = [ReportJob(f"r{i}", "d") for i in range(5)]
+    svc = SyntheticReportService(fail_ids={"r0", "r1"})
+    df = run_report_pipeline(spark, jobs, svc, ReportServiceConfig(sleep=lambda s: None))
+    assert df.count() == 9  # 3 downloaded reports x 3 rows
+
+
+def test_scd2_batch_dedup_deterministic(spark):
+    batch = spark.createDataFrame(
+        [("a", "Z", 9.0), ("a", "A", 1.0)], "sku string, title string, price double"
+    )
+    out1 = scd2_apply_batch(None, batch, ["sku"], ["sku", "title"], "s", "2025-01-01 00:00:00")
+    out2 = scd2_apply_batch(
+        None, batch.repartition(7), ["sku"], ["sku", "title"], "s", "2025-01-01 00:00:00"
+    )
+    assert out1.first().title == out2.first().title == "A"  # min-struct, not arrival order
+
+
+def test_dedup_prefer_retry_state(spark):
+    # same url_hash: a retry row (attempt 3, backoff set) vs fresh discovery
+    rows = [
+        (1, 3, 0.2, dt.datetime(2025, 6, 1, 0, 1, 0)),
+        (1, 0, 0.9, None),
+        (2, 0, 0.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_hash long, attempt int, priority double, next_eligible_ts timestamp"
+    )
+    out = {
+        r.url_hash: (r.attempt, r.next_eligible_ts is not None)
+        for r in dedup_within_batch(
+            df,
+            prefer=[
+                -F.coalesce(F.col("attempt"), F.lit(0)),
+                -F.coalesce(F.col("priority"), F.lit(0.0)),
+            ],
+        ).collect()
+    }
+    assert out[1] == (3, True)  # retry state survives rediscovery
+    assert out[2] == (0, False)
+
+
+def _log(spark, rows):
+    df = spark.createDataFrame(
+        rows, "host string, url_hash long, attempt int, http_code int, error_kind string, fetched_ts timestamp"
+    )
+    return classify_fetch_log(df)
+
+
+def test_incremental_circuit_equals_full_recompute(spark):
+    t0 = dt.datetime(2025, 6, 1)
+    rounds = []
+    # r1: host a 3 fails; host b ok
+    rounds.append([("a", i, 1, 503, None, t0 + dt.timedelta(seconds=i)) for i in range(3)]
+                  + [("b", 100, 1, 200, None, t0)])
+    # r2: host a 8 more fails (streak 11 → opens); host b fail,ok,fail (streak 1)
+    rounds.append([("a", 10 + i, 1, 503, None, t0 + dt.timedelta(seconds=60 + i)) for i in range(8)]
+                  + [("b", 101, 1, 503, None, t0 + dt.timedelta(seconds=61)),
+                     ("b", 102, 1, 200, None, t0 + dt.timedelta(seconds=62)),
+                     ("b", 103, 1, 503, None, t0 + dt.timedelta(seconds=63))])
+    # r3: host a recovers with an ok; host c appears failing
+    rounds.append([("a", 30, 1, 200, None, t0 + dt.timedelta(seconds=200)),
+                   ("c", 200, 1, 503, None, t0 + dt.timedelta(seconds=201))])
+
+    state = None
+    full = []
+    for r in rounds:
+        log = _log(spark, r)
+        state = update_circuit_state(state, log)
+        full.extend(r)
+        inc = {
+            row.host: (row.consecutive_failures, row.quarantined_until)
+            for row in state.collect()
+        }
+        ref = {
+            row.host: (row.consecutive_failures, row.quarantined_until)
+            for row in host_circuit_state(_log(spark, full)).collect()
+        }
+        assert inc == ref, f"divergence after round with {len(r)} rows: {inc} != {ref}"
+    assert inc["a"] == (0, None)  # recovered
+    assert inc["c"][0] == 1
+
+
+def test_csv_skip_rows_real(spark, tmp_path):
+    p = tmp_path / "report.csv"
+    p.write_text("Google Report junk line 1\njunk line 2\nsku,price\nA,1.5\nB,2.0\n")
+    df = read(spark, "csv", str(p), schema="sku string, price double", skip_rows=2)
+    got = sorted((r.sku, r.price) for r in df.collect())
+    assert got == [("A", 1.5), ("B", 2.0)]

@@ -90,7 +90,11 @@ def test_write_keyed_and_csv(spark, tmp_path):
     df = spark.createDataFrame([("k1", 1), ("k2", 2)], "sku string, v int")
     write_keyed(df, str(tmp_path / "keyed"), key_col="sku")
     back = spark.read.parquet(str(tmp_path / "keyed"))
-    assert back.count() == 2 and "_key" in back.columns
+    assert back.count() == 2 and "sku" in back.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        write_keyed(df, str(tmp_path / "keyed2"), key_col="nope")
     write_csv(df, str(tmp_path / "csvout"))
     txt = "".join(
         p.read_text() for p in (tmp_path / "csvout").glob("*.csv")

@@ -27,7 +27,9 @@ def first_struct_match(arr: Column | str, field: str, value, out_field: str) -> 
     returning its ``out_field`` (reference priceBlockElements search,
     wayfair.init_dag_iload_wayfair.py:39-56). Null when no match."""
     matches = F.filter(_c(arr), lambda s: s[field] == F.lit(value))
-    return F.element_at(matches, 1)[out_field]
+    # try_element_at: plain element_at on an empty array THROWS under Spark 4's
+    # default ANSI mode instead of returning null
+    return F.try_element_at(matches, F.lit(1))[out_field]
 
 
 def explode_map_keys_split(df: DataFrame, map_col: str, sep: str = "-", out_col: str = "parts") -> DataFrame:
@@ -71,7 +73,9 @@ def clean_percent(col: Column | str) -> Column:
     s = F.regexp_replace(s, "^< 10%$", "9.99")
     s = F.regexp_replace(s, "%", "")
     s = F.regexp_replace(s, "^--$", "0")
-    return s.cast("double") / 100.0
+    # try_cast: reference pd.to_numeric(errors='coerce') → NaN; ANSI cast would
+    # abort the whole load on one stray 'N/A'
+    return s.try_cast("double") / 100.0
 
 
 def pivot_first(df: DataFrame, index: str, pivot_col: str, value_col: str, values: list | None = None) -> DataFrame:
@@ -86,7 +90,10 @@ def paginate(df: DataFrame, total_pages_col: str, page_col: str = "page") -> Dat
     emit one frontier row per remaining page (reference while-loop
     process_reviews_with_pagination, request_client.py:322-412) as a native
     sequence+explode (no driver loop)."""
-    return df.withColumn(
-        page_col,
-        F.explode(F.sequence(F.lit(2), F.greatest(_c(total_pages_col), F.lit(1)))),
+    total = _c(total_pages_col)
+    # guard: sequence(2, 1) would be DESCENDING [2, 1]; single-page responses
+    # must fan out to zero remaining pages (explode of empty array drops the row)
+    pages = F.when(total >= 2, F.sequence(F.lit(2), total)).otherwise(
+        F.array().cast("array<int>")
     )
+    return df.withColumn(page_col, F.explode(pages))

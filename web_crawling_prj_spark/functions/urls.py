@@ -88,7 +88,9 @@ def canonicalize_url(url: str | None) -> str | None:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"
 
-    path = _normalize_percent(_remove_dot_segments(parts.path))
+    # percent-normalize BEFORE dot-segment removal: '%2E%2E' decodes to '..'
+    # and must be resolved, or canonicalization wouldn't be idempotent
+    path = _remove_dot_segments(_normalize_percent(parts.path))
     if scheme and not path:
         path = "/"
 

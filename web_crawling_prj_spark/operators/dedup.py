@@ -28,18 +28,24 @@ from pyspark.sql import functions as F
 from web_crawling_prj_spark.operators.bloom import ShardedBloom, might_contain
 
 
-def dedup_within_batch(frontier: DataFrame, key: str = "url_hash") -> DataFrame:
-    """Keep one row per key inside a batch: highest priority, then earliest
-    discovery, then stable arbitrary (min struct) — deterministic under any
-    partitioning (never first()-by-arrival).
+def dedup_within_batch(
+    frontier: DataFrame, key: str = "url_hash", prefer: list | None = None
+) -> DataFrame:
+    """Keep one row per key inside a batch — deterministic under any
+    partitioning (min-struct, never first()-by-arrival).
+
+    ``prefer``: ordered Column expressions that sort FIRST inside the packed
+    struct (ascending min wins — negate for "highest wins"). Default: highest
+    priority, then remaining columns as stable tiebreak.
     """
     other = [c for c in frontier.columns if c != key]
+    if prefer is None:
+        prefer = [(-F.coalesce(F.col("priority"), F.lit(0.0))).alias("_p0")]
+    else:
+        prefer = [p.alias(f"_p{i}") for i, p in enumerate(prefer)]
     packed = frontier.select(
         key,
-        F.struct(
-            (-F.coalesce(F.col("priority"), F.lit(0.0))).alias("_negp"),
-            *[F.col(c) for c in other],
-        ).alias("_row"),
+        F.struct(*prefer, *[F.col(c) for c in other]).alias("_row"),
     )
     best = packed.groupBy(key).agg(F.min("_row").alias("_row"))
     return best.select(key, *[F.col(f"_row.{c}").alias(c) for c in other])

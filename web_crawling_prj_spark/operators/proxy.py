@@ -57,6 +57,10 @@ def validated_pool(
     random.shuffle, proxy_manager.py:128 — here F.rand(seed) so it is
     reproducible) → take `limit` (O2) → assign stable slot ids for rotation."""
     healthy = health_check_pool(proxies, prober).where(F.col("healthy")).drop("healthy")
-    shuffled = healthy.orderBy(F.rand(seed), "endpoint").limit(limit)
-    w = Window.orderBy(F.rand(seed), "endpoint")
-    return shuffled.withColumn("proxy_slot", (F.row_number().over(w) - 1).cast("int"))
+    # hash-ordered "shuffle", not F.rand: rand draws depend on partitioning, a
+    # hash of the endpoint is a pure function of the data (sampling.py doctrine)
+    order = [F.xxhash64(F.lit(seed), F.col("endpoint")), F.col("endpoint")]
+    shuffled = healthy.orderBy(*order).limit(limit)
+    return shuffled.withColumn(
+        "proxy_slot", (F.row_number().over(Window.orderBy(*order)) - 1).cast("int")
+    )

@@ -113,6 +113,84 @@ def classify_fetch_log(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+CIRCUIT_STATE_SCHEMA = (
+    "host string, last_fetch_ts timestamp, consecutive_failures long, "
+    "last_fail_ts timestamp, quarantined_until timestamp"
+)
+
+
+def update_circuit_state(prev: DataFrame | None, round_log: DataFrame) -> DataFrame:
+    """Incremental circuit fold: prev per-host state ⊕ ONE round's fetch log →
+    new state. Same semantics as :func:`host_circuit_state` over the full
+    history (tested equivalent), but each round touches only its own log —
+    O(round) instead of O(history) per round.
+    """
+    ok = F.col("error_class") == "ok"
+    agg = round_log.groupBy("host").agg(
+        F.max(F.when(ok, F.col("fetched_ts"))).alias("_ok_ts"),
+        F.max("fetched_ts").alias("_r_last_fetch"),
+        F.max(F.when(~ok, F.col("fetched_ts"))).alias("_fail_ts"),
+    )
+    trailing = (
+        round_log.join(agg.select("host", F.col("_ok_ts").alias("_o")), "host")
+        .where(~ok & (F.col("_o").isNull() | (F.col("fetched_ts") > F.col("_o"))))
+        .groupBy("host")
+        .agg(F.count("*").alias("_trail"))
+    )
+    rnd = agg.join(trailing, "host", "left").withColumn(
+        "_trail", F.coalesce("_trail", F.lit(0))
+    )
+    if prev is None:
+        merged = rnd.select(
+            "host",
+            F.lit(None).cast("timestamp").alias("_p_last_fetch"),
+            F.lit(None).cast("long").alias("_p_streak"),
+            F.lit(None).cast("timestamp").alias("_p_fail_ts"),
+            "_ok_ts",
+            "_r_last_fetch",
+            "_fail_ts",
+            "_trail",
+        )
+    else:
+        p = prev.select(
+            "host",
+            F.col("last_fetch_ts").alias("_p_last_fetch"),
+            F.col("consecutive_failures").alias("_p_streak"),
+            F.col("last_fail_ts").alias("_p_fail_ts"),
+        )
+        merged = p.join(rnd, "host", "full_outer")
+
+    in_round = F.col("_r_last_fetch").isNotNull()
+    has_ok = F.col("_ok_ts").isNotNull()
+    streak = (
+        F.when(~in_round, F.coalesce("_p_streak", F.lit(0)))
+        .when(has_ok, F.col("_trail"))
+        .otherwise(F.coalesce("_p_streak", F.lit(0)) + F.col("_trail"))
+    )
+    last_fail = (
+        F.when(~in_round, F.col("_p_fail_ts"))
+        .when(F.col("_trail") > 0, F.col("_fail_ts"))
+        .otherwise(F.lit(None).cast("timestamp"))  # streak reset by an ok
+    )
+    out = merged.select(
+        "host",
+        F.greatest(
+            F.coalesce("_r_last_fetch", F.col("_p_last_fetch")),
+            F.coalesce("_p_last_fetch", F.col("_r_last_fetch")),
+        ).alias("last_fetch_ts"),
+        streak.cast("long").alias("consecutive_failures"),
+        last_fail.alias("last_fail_ts"),
+    )
+    return out.withColumn(
+        "quarantined_until",
+        F.when(
+            (F.col("consecutive_failures") >= CIRCUIT_OPEN_AFTER)
+            & F.col("last_fail_ts").isNotNull(),
+            F.col("last_fail_ts") + F.make_interval(secs=F.lit(CIRCUIT_RECOVERY_S)),
+        ),
+    )
+
+
 def host_circuit_state(fetch_log: DataFrame) -> DataFrame:
     """Per-host circuit breaker (error_handler.py:223-256): a host whose trailing
     failure streak ≥ 10 is quarantined until last_failure + 60 s.

@@ -85,9 +85,16 @@ def scd2_apply_batch(
     (data_loader.py:767-804) and to an Iceberg MERGE INTO with the same
     predicates.
     """
-    staged = with_scd2_metadata(
-        batch.dropDuplicates(primary_key), hash_cols, from_src, load_ts
+    # deterministic within-batch dedup: min-struct per pk, never
+    # dropDuplicates (which keeps an arrival-order-dependent row)
+    value_cols = [c for c in batch.columns if c not in primary_key]
+    packed = batch.groupBy(*primary_key).agg(
+        F.min(F.struct(*[F.col(c) for c in value_cols])).alias("_row")
     )
+    deduped = packed.select(
+        *primary_key, *[F.col(f"_row.{c}").alias(c) for c in value_cols]
+    )
+    staged = with_scd2_metadata(deduped, hash_cols, from_src, load_ts)
     if current is None:
         return staged
 

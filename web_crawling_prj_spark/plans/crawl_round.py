@@ -47,7 +47,7 @@ from web_crawling_prj_spark.operators.bloom import (
 from web_crawling_prj_spark.operators.dedup import anti_join_seen, dedup_within_batch
 from web_crawling_prj_spark.operators.fetch import discover_outlinks, synthetic_fetch
 from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
-from web_crawling_prj_spark.operators.retry import classify_fetch_log, host_circuit_state
+from web_crawling_prj_spark.operators.retry import classify_fetch_log, update_circuit_state
 from web_crawling_prj_spark.operators.robots import gate_frontier
 from web_crawling_prj_spark.plans.statestore import StateStore
 
@@ -181,15 +181,28 @@ def run_round(
     # 3) robots gate (broadcast join + codegen'd prefix predicate)
     allowed = gate_frontier(pending, robots)
 
-    # 4) circuit breaker (reference C12): quarantine hosts with open circuits
-    prior_log = store.read_all(spark, "fetch_log", up_to=round_id - 1)
-    if prior_log is not None:
-        circuits = host_circuit_state(classify_fetch_log(prior_log))
-        open_hosts = circuits.where(
+    # 4) circuit breaker (reference C12): hosts with open circuits sit out this
+    # round but their URLs are DEFERRED, not dropped — they rejoin the next
+    # frontier untouched (quarantine is temporal, never data loss). Circuit
+    # state is maintained INCREMENTALLY: each round folds only its own fetch
+    # log into the committed host_state table (O(round), not O(history)).
+    prev_host_state = None
+    if round_id > 1:
+        try:
+            prev_host_state = store.read_round(spark, "host_state", round_id - 1)
+        except ValueError:
+            prev_host_state = None  # store predates host_state tables
+    if prev_host_state is not None:
+        open_hosts = prev_host_state.where(
             F.col("quarantined_until").isNotNull()
             & (F.col("quarantined_until") > F.lit(round_ts).cast("timestamp"))
         ).select("host")
+        quarantined = allowed.join(F.broadcast(open_hosts), "host", "left_semi").select(
+            *FRONTIER_COLS
+        )
         allowed = allowed.join(F.broadcast(open_hosts), "host", "left_anti")
+    else:
+        quarantined = None
 
     # 5) politeness schedule (salted two-level exact top-k per host).
     # `allowed` feeds both the schedule and the leftover anti-join, and
@@ -239,9 +252,19 @@ def run_round(
     ).withColumns({"attempt": F.lit(0), "next_eligible_ts": F.lit(None).cast("timestamp")})
     discovered = discovered.select(*FRONTIER_COLS)
 
+    candidates = leftover.unionByName(deferred).unionByName(retries).unionByName(discovered)
+    if quarantined is not None:
+        candidates = candidates.unionByName(quarantined)
+    # dedup preference: in-flight retry state (attempt, backoff) must survive a
+    # fresh rediscovery of the same URL — otherwise attempt counters reset and
+    # the per-class retry budget / backoff gate are silently bypassed
     next_frontier = dedup_within_batch(
-        leftover.unionByName(deferred).unionByName(retries).unionByName(discovered),
+        candidates,
         key="url_hash",
+        prefer=[
+            -F.coalesce(F.col("attempt"), F.lit(0)),
+            -F.coalesce(F.col("priority"), F.lit(0.0)),
+        ],
     ).repartition(cfg.num_buckets, "url_hash")
 
     # 9) seen-delta: everything scheduled this round (fetched or failed —
@@ -266,6 +289,7 @@ def run_round(
         .withColumn("round_id", F.lit(round_id))
     )
 
+    new_host_state = update_circuit_state(prev_host_state, fetch_log)
     store.commit_round(
         round_id,
         {
@@ -273,6 +297,7 @@ def run_round(
             "seen_delta": seen_delta,
             "fetch_log": fetch_log.drop("max_attempts"),
             "metrics": metrics,
+            "host_state": new_host_state,
         },
         extra_meta={"round_ts": round_ts},
     )

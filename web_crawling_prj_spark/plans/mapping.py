@@ -62,10 +62,7 @@ def load_batch(
     'full' = truncate+reload semantics (batch replaces the table), 'incremental'
     = SCD2 merge. Returns the new table contents (caller checkpoints it)."""
     if cfg.load_type == "full":
-        staged = rename_columns(batch, cfg.mapping_cols)
-        if cfg.cols_to_insert:
-            staged = staged.select(*[c for c in cfg.cols_to_insert if c in staged.columns])
-        return with_scd2_metadata(staged, cfg.hash_cols, cfg.from_src, load_ts)
+        return stage_batch(batch, cfg, load_ts)
     if cfg.load_type == "incremental":
         staged = rename_columns(batch, cfg.mapping_cols)
         if cfg.cols_to_insert:

@@ -15,6 +15,7 @@ cadence, timeout, half-failure abort — are fully testable offline.
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -91,7 +92,9 @@ def run_report_pipeline(
         j.status = "failed"
 
     failed = sum(1 for j in jobs if j.status == "failed")
-    if failed >= max(1, round(len(jobs) * cfg.fail_threshold_ratio)):
+    # ceil, not round(): reference aborts at failed >= ceil(total/2)
+    # (base_init_reports_dag.py:187-192); banker's rounding would abort 2/5
+    if failed >= max(1, math.ceil(len(jobs) * cfg.fail_threshold_ratio)):
         raise RuntimeError(f"report run failed: {failed}/{len(jobs)} reports failed")
 
     rows = [r for j in jobs if j.payload_rows for r in j.payload_rows]

@@ -33,10 +33,31 @@ def read(spark: SparkSession, fmt: str, path: str, schema: StructType | str | No
 
 def _csv(spark: SparkSession, path: str, schema=None, skip_rows: int = 0, **opts) -> DataFrame:
     """CSV scan (S1) incl. header-offset variant (S5: Google reports carry 2
-    junk lines, gg_ads.init_dag_iload_gg_ads.py:24)."""
-    r = spark.read.option("header", "true")
+    junk lines, gg_ads.init_dag_iload_gg_ads.py:24).
+
+    OSS Spark has no 'skipRows' CSV option (Databricks-only), so skip_rows > 0
+    takes the wholetext path: each file is read whole, its first `skip_rows`
+    lines sliced off deterministically, the next line treated as the header,
+    and the remainder parsed with from_csv. Report files are small (driver-side
+    exports), so one-row-per-file wholetext is the right trade.
+    """
     if skip_rows:
-        r = r.option("skipRows", str(skip_rows))
+        if schema is None:
+            raise ValueError("skip_rows requires an explicit schema (from_csv parse)")
+        from pyspark.sql import functions as F
+
+        ddl = schema if isinstance(schema, str) else schema.simpleString()
+        whole = spark.read.text(path, wholetext=True)
+        lines = F.split(F.regexp_replace(F.col("value"), "\r\n", "\n"), "\n")
+        # drop junk lines + the header line; keep non-empty data lines
+        data = F.filter(
+            F.slice(lines, skip_rows + 2, F.size(lines)), lambda s: F.length(s) > 0
+        )
+        parsed = whole.select(
+            F.explode(data).alias("_line")
+        ).select(F.from_csv(F.col("_line"), ddl, opts).alias("_r")).select("_r.*")
+        return parsed
+    r = spark.read.option("header", "true")
     for k, v in opts.items():
         r = r.option(k, v)
     if schema is not None:

@@ -24,11 +24,15 @@ from pyspark.sql import functions as F
 
 def write_keyed(df: DataFrame, path: str, key_col: str, mode: str = "append", partition_cols: list[str] | None = None) -> None:
     """S10: the reference writes one file per key (``{sku}.json``); at scale the
-    key is a COLUMN and rows land in partitioned parquet — same idempotence
-    (re-writing a key round is an overwrite of its partition), no tiny files."""
-    w = df.withColumn("_key", F.col(key_col)).write.mode(mode)
+    filename-key becomes the ``key_col`` COLUMN and rows land in (optionally
+    partitioned) parquet. Idempotent re-writes of a slice need
+    ``mode='overwrite'`` with ``partition_cols`` (dynamic partition overwrite
+    replaces only the touched partitions); plain append is the fetch-log path."""
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col!r} not in {df.columns}")
+    w = df.write.mode(mode)
     if partition_cols:
-        w = w.partitionBy(*partition_cols)
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_cols)
     w.parquet(path)
 
 
