@@ -169,3 +169,51 @@ def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
     store2 = StateStore(str(tmp_path / "pr2"))
     run_crawl(spark, store2, pages, robots, seeds, rounds=3, cfg=cfg2)
     assert _final_state(store, spark) == _final_state(store2, spark)
+
+
+def test_circuit_open_then_half_open(spark, tmp_path, crawl_inputs):
+    """Forced circuit states: open host schedules nothing (rows deferred);
+    half-open host schedules exactly one probe URL."""
+    import datetime as dt
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "cb"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
+
+    hot = "host-0000.example"
+    frontier1 = store.read_round(spark, "frontier", 1)
+    assert frontier1.where(F.col("host") == hot).count() > 1
+
+    def fabricate(round_id, quarantined_until):
+        state = spark.createDataFrame(
+            [(hot, dt.datetime(2025, 6, 1), 12, dt.datetime(2025, 6, 1), quarantined_until)],
+            "host string, last_fetch_ts timestamp, consecutive_failures long, "
+            "last_fail_ts timestamp, quarantined_until timestamp",
+        )
+        store.commit_round(
+            round_id,
+            {
+                "frontier": store.read_round(spark, "frontier", round_id - 1),
+                "seen_delta": spark.createDataFrame(
+                    [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
+                ),
+                "host_state": state,
+            },
+        )
+
+    # round 2 fabricated: hot host OPEN far into the future
+    fabricate(2, dt.datetime(2030, 1, 1))
+    from web_crawling_prj_spark.plans.crawl_round import run_round
+
+    run_round(spark, store, pages, robots, 3, cfg)
+    log3 = store.read_round(spark, "fetch_log", 3)
+    assert log3.where(F.col("host") == hot).count() == 0  # fully open: sits out
+    # deferred, not lost: hot rows still pending in the next frontier
+    f3 = store.read_round(spark, "frontier", 3)
+    assert f3.where(F.col("host") == hot).count() > 0
+
+    # round 4 fabricated: recovery window passed → HALF_OPEN (streak still 12)
+    fabricate(4, dt.datetime(2025, 6, 1, 0, 0, 30))
+    run_round(spark, store, pages, robots, 5, cfg)
+    log5 = store.read_round(spark, "fetch_log", 5)
+    assert log5.where(F.col("host") == hot).count() == 1  # exactly one probe

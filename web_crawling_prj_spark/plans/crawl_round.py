@@ -192,10 +192,16 @@ def run_round(
             prev_host_state = store.read_round(spark, "host_state", round_id - 1)
         except ValueError:
             prev_host_state = None  # store predates host_state tables
+    half_open_hosts = None
     if prev_host_state is not None:
-        open_hosts = prev_host_state.where(
-            F.col("quarantined_until").isNotNull()
-            & (F.col("quarantined_until") > F.lit(round_ts).cast("timestamp"))
+        tripped = prev_host_state.where(F.col("quarantined_until").isNotNull())
+        open_hosts = tripped.where(
+            F.col("quarantined_until") > F.lit(round_ts).cast("timestamp")
+        ).select("host")
+        # HALF_OPEN (reference error_handler.py:223-256): recovery window passed
+        # but no success has reset the streak yet → admit ONE probe URL
+        half_open_hosts = tripped.where(
+            F.col("quarantined_until") <= F.lit(round_ts).cast("timestamp")
         ).select("host")
         quarantined = allowed.join(F.broadcast(open_hosts), "host", "left_semi").select(
             *FRONTIER_COLS
@@ -210,6 +216,17 @@ def run_round(
     # dedup/robots/window stages run once per round.
     allowed = allowed.persist()
     budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
+    if half_open_hosts is not None:
+        # half-open circuit: budget forced to 1 probe for the host
+        # full outer: a half-open host with no robots row must still get budget 1
+        budgets = (
+            budgets.join(half_open_hosts.withColumn("_ho", F.lit(True)), "host", "full_outer")
+            .withColumn(
+                "max_per_round",
+                F.when(F.col("_ho"), F.lit(1)).otherwise(F.col("max_per_round")),
+            )
+            .drop("_ho")
+        )
     scheduled = schedule_round(
         allowed, budgets, n_salts=cfg.n_salts, default_budget=cfg.default_budget
     ).persist()
