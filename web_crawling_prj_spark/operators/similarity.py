@@ -93,27 +93,59 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """ANN: bucket by hyperplane signature, exact re-rank within bucket.
+    """ANN: bucket by hyperplane signature, exact re-rank within probed buckets.
 
     At 100 TB the bucketed table is written once partitioned by signature and
-    re-used by every query batch; a query touches ~N/2^p rows. Recall is
-    approximate (single-probe) — use brute_force_topk as the gold standard.
+    re-used by every query batch; a query touches ~n_probes·N/2^p rows.
+    ``n_probes`` > 1 enables multi-probe: each query also searches the buckets
+    at Hamming distance 1 on its ``n_probes-1`` least-confident sign bits —
+    recall climbs steeply for near-hyperplane vectors at linear extra cost.
+    Use brute_force_topk as the gold standard for recall measurement.
     """
     sig = hyperplane_signature_udf(dim, n_planes)
     emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col)))
-    q_b = queries.withColumn("bucket", sig(F.col(query_vec_col)))
-    scored = emb_b.join(F.broadcast(q_b), "bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+    q_sig = queries.withColumn("bucket", sig(F.col(query_vec_col)))
+    if n_probes > 1:
+        # flip one of the first (n_probes-1) bits per extra probe
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(n_probes - 1, n_planes))
+            ],
+        )
+        q_b = q_sig.withColumn("bucket", F.explode(probes))
+    else:
+        q_b = q_sig
+    scored = (
+        emb_b.join(F.broadcast(q_b), "bucket")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int, query_id_col: str = "query_id", id_col: str = "vec_id") -> float:
+    """Mean recall@k of an ANN result vs the brute-force gold standard."""
+    a = approx.where(F.col("rank") <= k).select(query_id_col, id_col)
+    e = exact.where(F.col("rank") <= k).select(query_id_col, id_col)
+    hits = e.join(a, [query_id_col, id_col], "left_semi").groupBy(query_id_col).count()
+    total = e.groupBy(query_id_col).count().withColumnRenamed("count", "t")
+    per_q = total.join(hits, query_id_col, "left").select(
+        (F.coalesce("count", F.lit(0)) / F.col("t")).alias("r")
+    )
+    return per_q.agg(F.avg("r")).first()[0]
 
 
 def embedding_near_dup_pairs(

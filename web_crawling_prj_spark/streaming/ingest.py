@@ -89,6 +89,28 @@ def host_rate_stats(
     )
 
 
+def host_sessions(discoveries: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Streaming sessionization: session_window groups a host's discovery
+    burst into one session row (complement of the batch operator
+    operators.asof.sessionize — this one is the native streaming session
+    window with watermark-bounded state).
+
+    Input must already carry a watermark on ``discovered_ts`` (stream_frontier
+    sets one; Spark disallows redefining it downstream).
+    """
+    return (
+        discoveries.groupBy(F.session_window("discovered_ts", gap), "host")
+        .agg(F.count("*").alias("n_urls"), F.max("priority").alias("max_priority"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "host",
+            "n_urls",
+            "max_priority",
+        )
+    )
+
+
 def sink_to_frontier(discoveries: DataFrame, out_dir: str, checkpoint_dir: str):
     """foreachBatch bridge: append micro-batches to the batch-round drop table.
 
