@@ -170,6 +170,19 @@ def main():
     spark = get_spark("wcp-bench", cores=cpus, shuffle_partitions=cpus)
     core = bench_frontier_core(spark, n_urls)
 
+    # extraction throughput: Arrow-UDF byte-identical HTML→text over the page
+    # store (the webtext data-plane hot path)
+    from web_crawling_prj_spark.functions.text import extract_text_udf
+    from web_crawling_prj_spark.sources.pages_gen import pages_df
+
+    pages = pages_df(spark, sf_dir).select("html").persist()
+    n_pages = pages.count()  # materialize html (render cost excluded from timing)
+    t0 = time.time()
+    pages.select(F.sum(F.length(extract_text_udf("html")))).collect()
+    extract_wall = time.time() - t0
+    pages.unpersist()
+    extract = {"n_pages": n_pages, "wall_s": round(extract_wall, 3), "rate": round(n_pages / extract_wall, 1)}
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -194,6 +207,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "frontier_core": core,
+        "extract_pages_per_sec": extract,
         "cpus": cpus,
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
