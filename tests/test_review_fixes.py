@@ -139,3 +139,41 @@ def test_csv_skip_rows_real(spark, tmp_path):
     df = read(spark, "csv", str(p), schema="sku string, price double", skip_rows=2)
     got = sorted((r.sku, r.price) for r in df.collect())
     assert got == [("A", 1.5), ("B", 2.0)]
+
+
+def test_full_rebuild_seeds_incremental_circuit(spark):
+    """Recovery path: host_circuit_state output must be usable as `prev` for
+    update_circuit_state (schema parity with CIRCUIT_STATE_SCHEMA)."""
+    t0 = dt.datetime(2025, 6, 1)
+    hist = _log(spark, [("a", i, 1, 503, None, t0 + dt.timedelta(seconds=i)) for i in range(11)])
+    rebuilt = host_circuit_state(hist)
+    assert set(rebuilt.columns) == {
+        "host", "last_fetch_ts", "consecutive_failures", "last_fail_ts", "quarantined_until"
+    }
+    nxt = _log(spark, [("a", 99, 1, 200, None, t0 + dt.timedelta(seconds=100))])
+    state = {r.host: r.consecutive_failures for r in update_circuit_state(rebuilt, nxt).collect()}
+    assert state["a"] == 0  # the ok resets the rebuilt streak
+
+
+def test_asof_duplicate_ts_right_rows_deterministic(spark):
+    from web_crawling_prj_spark.operators.asof import asof_join_native, asof_join_pandas
+
+    t = dt.datetime(2025, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, t, "e")], "user_id long, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, t, 5.0), (1, t, 9.0), (1, t, 1.0)], "user_id long, rts timestamp, price double"
+    )
+    for reps in range(3):
+        n = asof_join_native(left, right.repartition(reps + 1), "user_id", "ts", "rts", ["price"]).first()
+        p = asof_join_pandas(left, right.repartition(reps + 1), "user_id", "ts", "rts", ["price"]).first()
+        assert n.price == p.price == 9.0  # max payload wins, any partitioning
+
+
+def test_components_nonconvergence_raises(spark):
+    from web_crawling_prj_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    comp = connected_components(chain, max_iter=20)
+    assert comp.select("component").distinct().count() == 1

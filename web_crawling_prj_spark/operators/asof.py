@@ -52,10 +52,12 @@ def asof_join_native(
     )
     u = l.unionByName(r)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) → ties are
-    # inclusive (right.ts == left.ts matches), like merge_asof/DuckDB defaults
+    # inclusive (right.ts == left.ts matches), like merge_asof/DuckDB defaults.
+    # `_pay` as the final key makes duplicate (key, ts) right rows resolve
+    # deterministically (max payload struct wins) instead of by arrival order.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_pay").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_last_pay", F.last("_pay", ignorenulls=True).over(w))
@@ -83,9 +85,13 @@ def asof_join_pandas(
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         l_pdf = l_pdf.sort_values(left_ts)
-        r_pdf = r_pdf.sort_values(right_ts)[[right_ts, *right_payload]].rename(
+        r_pdf = r_pdf[[right_ts, *right_payload]].rename(
             columns={right_ts: f"{right_ts}{suffix}"}
         )
+        # sort by (ts, payload): merge_asof takes the LAST matching row, so
+        # duplicate-ts right rows resolve to max payload — same rule as the
+        # native variant's struct tiebreak
+        r_pdf = r_pdf.sort_values([f"{right_ts}{suffix}", *right_payload])
         if r_pdf.empty:
             for c in [f"{right_ts}{suffix}", *right_payload]:
                 l_pdf[c] = None

@@ -28,13 +28,17 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
     checkpoint_every: int = 3,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     Input: undirected edge list. Isolated nodes absent from `pairs` are
     trivially their own component (callers union them in if needed).
+
+    Convergence needs O(graph diameter) iterations (one hop per pass); hitting
+    ``max_iter`` without converging raises rather than silently returning
+    split components.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -44,7 +48,10 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
-    ).persist()
+    )
+    cached_prev = None  # handle to the EXACT persisted object (unpersist on a
+    # derived projection is a no-op — Spark matches cache entries by plan)
+    converged = False
     for i in range(max_iter):
         # candidate label per node = min(own, min over neighbors' labels)
         neighbor = (
@@ -62,14 +69,28 @@ def connected_components(
             )
         ).persist()
         changed = updated.where("_chg").count()
-        old = labels
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        cached_prev = updated
         labels = updated.drop("_chg")
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
-        old.unpersist()
+            cached_prev.unpersist()
+            cached_prev = None
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if cached_prev is not None:
+        # pin the result before dropping its cached ancestor, or the returned
+        # plan would re-run the whole since-checkpoint iteration chain
+        labels = labels.localCheckpoint(eager=True)
+        cached_prev.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter) — raise max_iter"
+        )
     return labels
 
 
@@ -100,9 +121,14 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    cached_prev = None
     for i in range(iterations):
+        # persist the CURRENT ranks: they feed three consumers per iteration
+        # (contribs join, dangling action, next-iteration lineage) — without
+        # this every dangling .first() re-runs the whole since-checkpoint chain
+        ranks = ranks.persist()
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(out_deg, "src")
@@ -116,6 +142,9 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .first()["m"]
         )
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        cached_prev = ranks
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
@@ -126,8 +155,14 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            cached_prev.unpersist()
+            cached_prev = None
+    ranks = ranks.localCheckpoint(eager=True)
+    if cached_prev is not None:
+        cached_prev.unpersist()
     e.unpersist()
     nodes.unpersist()
+    out_deg.unpersist()
     return ranks
 
 

@@ -196,31 +196,30 @@ def host_circuit_state(fetch_log: DataFrame) -> DataFrame:
     failure streak ≥ 10 is quarantined until last_failure + 60 s.
 
     Streak = failures strictly after the host's last success — one agg pass,
-    no window over the full log.
+    no window over the full log. Output matches CIRCUIT_STATE_SCHEMA exactly,
+    so a full-history rebuild can seed :func:`update_circuit_state` as `prev`
+    (the recovery path for stores missing the incremental host_state table).
     """
     per_host = fetch_log.groupBy("host").agg(
         F.max(F.when(F.col("error_class") == "ok", F.col("fetched_ts"))).alias("_last_ok"),
         F.max("fetched_ts").alias("last_fetch_ts"),
-        F.sum(
-            F.when(F.col("error_class") != "ok", F.lit(1)).otherwise(F.lit(0))
-        ).alias("total_failures"),
     )
     streaks = fetch_log.join(per_host.select("host", "_last_ok"), "host", "left").where(
         F.col("_last_ok").isNull() | (F.col("fetched_ts") > F.col("_last_ok"))
     )
     streak_cnt = streaks.where(F.col("error_class") != "ok").groupBy("host").agg(
         F.count("*").alias("consecutive_failures"),
-        F.max("fetched_ts").alias("_last_fail_ts"),
+        F.max("fetched_ts").alias("last_fail_ts"),
     )
     return (
         per_host.join(streak_cnt, "host", "left")
-        .withColumn("consecutive_failures", F.coalesce("consecutive_failures", F.lit(0)))
+        .withColumn("consecutive_failures", F.coalesce("consecutive_failures", F.lit(0)).cast("long"))
         .withColumn(
             "quarantined_until",
             F.when(
                 F.col("consecutive_failures") >= CIRCUIT_OPEN_AFTER,
-                F.col("_last_fail_ts") + F.make_interval(secs=F.lit(CIRCUIT_RECOVERY_S)),
+                F.col("last_fail_ts") + F.make_interval(secs=F.lit(CIRCUIT_RECOVERY_S)),
             ),
         )
-        .drop("_last_ok", "_last_fail_ts")
+        .select("host", "last_fetch_ts", "consecutive_failures", "last_fail_ts", "quarantined_until")
     )

@@ -87,6 +87,34 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = SEED):
     return _sig
 
 
+def probe_buckets_udf(dim: int, n_planes: int, n_probes: int, seed: int = SEED):
+    """Arrow UDF: query vector → array of probe buckets (true multi-probe LSH:
+    the base bucket plus flips of the ``n_probes-1`` LEAST-CONFIDENT sign bits,
+    i.e. the hyperplanes with the smallest |projection| margin)."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = m @ planes
+        bits = proj >= 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        base = (bits * weights).sum(axis=1).astype(np.int64)
+        # least-confident bits = smallest |margin|
+        order = np.argsort(np.abs(proj), axis=1)
+        out = []
+        for row_i in range(len(base)):
+            buckets = [int(base[row_i])]
+            for j in range(min(n_probes - 1, n_planes)):
+                buckets.append(int(base[row_i] ^ (1 << int(order[row_i, j]))))
+            out.append(buckets)
+        return pd.Series(out)
+
+    return _probes
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -103,26 +131,19 @@ def lsh_bucketed_topk(
 
     At 100 TB the bucketed table is written once partitioned by signature and
     re-used by every query batch; a query touches ~n_probes·N/2^p rows.
-    ``n_probes`` > 1 enables multi-probe: each query also searches the buckets
-    at Hamming distance 1 on its ``n_probes-1`` least-confident sign bits —
-    recall climbs steeply for near-hyperplane vectors at linear extra cost.
-    Use brute_force_topk as the gold standard for recall measurement.
+    ``n_probes`` > 1 enables margin-aware multi-probe: each query also searches
+    the buckets at Hamming distance 1 on its least-confident sign bits (the
+    hyperplanes its vector lies closest to) — recall climbs steeply for
+    near-hyperplane vectors at linear extra cost. Use brute_force_topk as the
+    gold standard for recall measurement.
     """
     sig = hyperplane_signature_udf(dim, n_planes)
     emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col)))
-    q_sig = queries.withColumn("bucket", sig(F.col(query_vec_col)))
     if n_probes > 1:
-        # flip one of the first (n_probes-1) bits per extra probe
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(min(n_probes - 1, n_planes))
-            ],
-        )
-        q_b = q_sig.withColumn("bucket", F.explode(probes))
+        probes = probe_buckets_udf(dim, n_planes, n_probes)
+        q_b = queries.withColumn("bucket", F.explode(probes(F.col(query_vec_col))))
     else:
-        q_b = q_sig
+        q_b = queries.withColumn("bucket", sig(F.col(query_vec_col)))
     scored = (
         emb_b.join(F.broadcast(q_b), "bucket")
         .select(

@@ -118,11 +118,9 @@ def init_crawl(spark: SparkSession, store: StateStore, seeds: DataFrame, cfg: Cr
     empty_seen = spark.createDataFrame(
         [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
     )
-    empty_log = None  # no fetch_log at round 0
-    tables = {"frontier": frontier, "seen_delta": empty_seen}
-    if empty_log is not None:
-        tables["fetch_log"] = empty_log
-    store.commit_round(0, tables, extra_meta={"kind": "init"})
+    store.commit_round(
+        0, {"frontier": frontier, "seen_delta": empty_seen}, extra_meta={"kind": "init"}
+    )
 
 
 def run_round(
@@ -178,8 +176,11 @@ def run_round(
     else:
         pending = eligible
 
-    # 3) robots gate (broadcast join + codegen'd prefix predicate)
-    allowed = gate_frontier(pending, robots)
+    # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
+    # HERE (not after the circuit split) so the quarantined branch does not
+    # re-run the bloom probe + seen anti-join at commit time.
+    gated = gate_frontier(pending, robots).persist()
+    allowed = gated
 
     # 4) circuit breaker (reference C12): hosts with open circuits sit out this
     # round but their URLs are DEFERRED, not dropped — they rejoin the next
@@ -187,11 +188,9 @@ def run_round(
     # state is maintained INCREMENTALLY: each round folds only its own fetch
     # log into the committed host_state table (O(round), not O(history)).
     prev_host_state = None
-    if round_id > 1:
-        try:
-            prev_host_state = store.read_round(spark, "host_state", round_id - 1)
-        except ValueError:
-            prev_host_state = None  # store predates host_state tables
+    if round_id > 1 and store.has_table("host_state", round_id - 1):
+        prev_host_state = store.read_round(spark, "host_state", round_id - 1)
+    # else: store predates host_state tables (or round 1) → no circuit history
     half_open_hosts = None
     if prev_host_state is not None:
         tripped = prev_host_state.where(F.col("quarantined_until").isNotNull())
@@ -211,10 +210,9 @@ def run_round(
         quarantined = None
 
     # 5) politeness schedule (salted two-level exact top-k per host).
-    # `allowed` feeds both the schedule and the leftover anti-join, and
-    # `scheduled` feeds both fetch and leftover — persist both so the
-    # dedup/robots/window stages run once per round.
-    allowed = allowed.persist()
+    # `gated` is cached above (feeds allowed/quarantined/leftover); `scheduled`
+    # feeds both fetch and the leftover anti-join — persist it so the window
+    # stages run once per round.
     budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
     if half_open_hosts is not None:
         # half-open circuit: budget forced to 1 probe for the host
@@ -337,7 +335,7 @@ def run_round(
         for r in committed_metrics.collect()
     }
     fetch_log.unpersist()
-    allowed.unpersist()
+    gated.unpersist()
     scheduled.unpersist()
     totals = [sum(v[i] for v in summary.values()) for i in range(3)]
     return {

@@ -111,6 +111,13 @@ class StateStore:
 
     # --- read path (only committed rounds are visible) ---
 
+    def has_table(self, table: str, round_id: int) -> bool:
+        """True iff `round_id` is committed AND wrote this table (older stores
+        may predate a table's existence)."""
+        return os.path.exists(self._manifest_path(round_id)) and os.path.exists(
+            self._table_round_dir(table, round_id)
+        )
+
     def read_round(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
         if not os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} is not committed")
