@@ -157,3 +157,29 @@ if HAVE_HYPOTHESIS:
             .count()
         )
         assert over == 0
+
+
+def test_robots_txt_roundtrip(spark):
+    """Raw robots.txt → Arrow-UDF parse reproduces the structured rules
+    exactly (the production parse path equals the fixture path)."""
+    from web_crawling_prj_spark.sources.pages_gen import robots_df, robots_txt_df
+
+    raw = robots_txt_df(spark)
+    parsed = raw.select("host", parse_robots_udf("robots_txt").alias("r")).select(
+        "host",
+        F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+    want = {
+        r.host: (list(r.disallow_prefixes), r.crawl_delay_ms)
+        for r in robots_df(spark).collect()
+    }
+    got = {
+        r.host: (list(r.disallow_prefixes or []), r.crawl_delay_ms)
+        for r in parsed.collect()
+    }
+    for host, (dis, delay) in want.items():
+        gdis, gdelay = got[host]
+        assert gdis == dis, (host, gdis, dis)
+        # delay 0 renders as no Crawl-delay line → parses to null → same default
+        assert gdelay == (delay if delay > 0 else None)

@@ -125,6 +125,29 @@ def seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeds.unionByName(dupes).unionByName(unknown)
 
 
+def robots_txt_df(spark: SparkSession) -> DataFrame:
+    """Raw robots.txt text per host (host, robots_txt) — rendered from the same
+    seeded rules as :func:`robots_df`, so
+    ``parse_robots_udf(robots_txt_df(...)) == robots_df(...)`` is a tested
+    roundtrip and crawls can consume either form. The production path is:
+    fetch /robots.txt per host → this table → Arrow-UDF parse → broadcast gate.
+    """
+    rules = robots_df(spark)
+    delay_line = F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.concat(F.lit("Crawl-delay: "), (F.col("crawl_delay_ms") / 1000.0).cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    disallow_lines = F.aggregate(
+        F.col("disallow_prefixes"),
+        F.lit(""),
+        lambda acc, p: F.concat(acc, F.lit("Disallow: "), p, F.lit("\n")),
+    )
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\n"), disallow_lines, delay_line
+    )
+    return rules.select("host", txt.alias("robots_txt"))
+
+
 def robots_df(spark: SparkSession) -> DataFrame:
     """Per-host robots rules: ~20% of hosts disallow a prefix; ~2% disallow all;
     crawl_delay_ms seeded from {0,250,500,1000,5000} (reference default 500 ms =
