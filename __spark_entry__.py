@@ -233,13 +233,19 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 def q_supplier_expr_join(spark, sf_dir):
-    """J4: expression-key join (lower() on the join key)."""
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.upper("n_name").alias("mangled"))
-    j = s.join(n, s.s_nationkey == n.n_nationkey).where(
-        F.lower(F.col("mangled")) == F.lower(F.col("mangled"))
+    """J4: expression-key join — the join key is a case-mangled STRING on each
+    side, so the only way rows match is through the lower() expression on BOTH
+    keys (reference criteo.init_dag_iload_criteo.py:110-112)."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.upper(F.concat(F.lit("nk-"), F.col("s_nationkey").cast("string"))).alias("s_natkey_str"),
     )
-    return j.groupBy(F.lower("mangled").alias("nation_lc")).agg(F.count("*").alias("n_suppliers"))
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("Nk-"), F.col("n_nationkey").cast("string")).alias("n_natkey_str"),
+        "n_name",
+    )
+    j = s.join(n, F.lower(s.s_natkey_str) == F.lower(n.n_natkey_str))
+    return j.groupBy(F.lower("n_name").alias("nation_lc")).agg(F.count("*").alias("n_suppliers"))
 
 
 def q_halfyear_recon(spark, sf_dir):
@@ -298,21 +304,16 @@ def q_scd2_rebuild(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("created_at")
     )
-    rb = scd2_rebuild_from_history(o, ["o_custkey"], order_col="created_at")
-    # deterministic tiebreak for same-day orders: re-derive with composite order
-    w = Window.partitionBy("o_custkey").orderBy(F.asc("created_at"), F.asc("o_orderkey"))
-    wd = Window.partitionBy("o_custkey").orderBy(F.desc("created_at"), F.desc("o_orderkey"))
-    return o.select(
+    rb = scd2_rebuild_from_history(
+        o, ["o_custkey"], order_col="created_at", tiebreak_cols=["o_orderkey"]
+    )
+    return rb.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("row_version_number"),
-        (F.row_number().over(wd) == 1).alias("row_is_latest"),
-        F.when(F.row_number().over(w) == 1, F.lit("1900-01-01"))
-        .otherwise(F.date_format("created_at", "yyyy-MM-dd"))
-        .alias("row_start_date"),
-        F.coalesce(F.date_format(F.lead("created_at", 1).over(w), "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
-            "row_end_date"
-        ),
+        "row_version_number",
+        "row_is_latest",
+        F.date_format("row_start_date", "yyyy-MM-dd").alias("row_start_date"),
+        F.date_format("row_end_date", "yyyy-MM-dd").alias("row_end_date"),
     )
 
 
@@ -734,11 +735,11 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
         "supplier_expr_join": """
-WITH m AS (SELECT n_nationkey, upper(n_name) AS mangled FROM nation)
-SELECT lower(mangled) AS nation_lc, CAST(count(*) AS BIGINT) AS n_suppliers
-FROM supplier JOIN m ON s_nationkey = n_nationkey
-WHERE lower(mangled) = lower(mangled)
-GROUP BY lower(mangled)
+WITH s AS (SELECT s_suppkey, upper('nk-' || CAST(s_nationkey AS VARCHAR)) AS s_natkey_str FROM supplier),
+n AS (SELECT 'Nk-' || CAST(n_nationkey AS VARCHAR) AS n_natkey_str, n_name FROM nation)
+SELECT lower(n_name) AS nation_lc, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM s JOIN n ON lower(s.s_natkey_str) = lower(n.n_natkey_str)
+GROUP BY lower(n_name)
 """,
         "halfyear_recon": """
 WITH h1 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS h1_cnt FROM orders

@@ -147,13 +147,25 @@ def scd2_apply_batch(
 
 
 def scd2_rebuild_from_history(
-    history: DataFrame, primary_key: list[str], order_col: str = "created_at"
+    history: DataFrame,
+    primary_key: list[str],
+    order_col: str = "created_at",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Derive SCD2 columns for an append-only change history in one windowed
     pass — row_version_number / row_is_latest / row_start_date / row_end_date
-    per pk ordered by ``order_col``. SQL-expressible (oracle parity W3)."""
-    w = Window.partitionBy(*primary_key).orderBy(F.col(order_col).asc())
-    wdesc = Window.partitionBy(*primary_key).orderBy(F.col(order_col).desc())
+    per pk ordered by ``order_col``. SQL-expressible (oracle parity W3).
+
+    ``tiebreak_cols``: extra ordering columns for histories where several
+    versions share the same ``order_col`` value (e.g. same-day orders) — the
+    ranking must be a pure function of data, never of partition arrival."""
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(*primary_key).orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc() for c in tb]
+    )
+    wdesc = Window.partitionBy(*primary_key).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tb]
+    )
     return (
         history.withColumn("row_version_number", F.row_number().over(w))
         .withColumn("_rn_desc", F.row_number().over(wdesc))
