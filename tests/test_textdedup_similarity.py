@@ -71,6 +71,47 @@ def test_shingles_short_doc(spark):
     assert rows[1].s == [""] or rows[1].s == []
 
 
+def _simhash64_reference(s: str) -> int:
+    """Scalar FNV-1a SimHash — the independent golden for the vectorized UDF
+    (bit-for-bit the pre-vectorization algorithm)."""
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", (s or "").lower())
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = 0xCBF29CE484222325
+        for byte in t.encode():
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sim = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sim |= 1 << j
+    return sim - (1 << 64) if sim >= (1 << 63) else sim  # two's complement
+
+
+def test_simhash_vectorized_matches_scalar_golden(spark, docs, sf_dir):
+    """Golden for query `simhash_pairs`: the numpy-vectorized simhash64_col
+    equals the scalar reference on the fixture corpus AND on real documents
+    (incl. empty/unicode/long-token edge cases)."""
+    from web_crawling_prj_spark.operators.textdedup import simhash64_col
+
+    extra = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "   \n\t  "), (103, "héllo wörld café 123"),
+         (104, "a" * 500 + " b"), (105, "x")],
+        "doc_id long, text string",
+    )
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").limit(80)
+    corpus = docs.unionByName(extra).unionByName(real)
+    got = corpus.select("doc_id", "text", simhash64_col("text").alias("sh")).collect()
+    assert len(got) > 80
+    for r in got:
+        assert r.sh == _simhash64_reference(r.text), f"doc {r.doc_id} simhash mismatch"
+
+
 def test_simhash_pairs(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidate_pairs(docs, max_hamming=6).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical text → identical simhash

@@ -170,42 +170,92 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", tex
 
 # --- tier 4: SimHash ---
 
+_SIMHASH_TOKEN_RE = "[a-z0-9]+"
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
 @F.pandas_udf(LongType())
-def simhash64_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash: per-token 64-bit hash, bit votes weighted by count.
+def simhash_from_joined_udf(joined: pd.Series, n_toks: pd.Series) -> pd.Series:
+    """(tokens pre-joined with '\\n', token count) → 64-bit SimHash.
 
-    Vectorized per batch with numpy; token hashing via Python hash of the token
-    bytes through a splitmix-style finalizer (deterministic, PYTHONHASHSEED-free).
-    """
-    import re as _re
+    Fully vectorized — NO Python loop over rows, tokens, or bytes: the batch's
+    token text arrives as one JVM-concatenated string per row, is flattened
+    into a single byte buffer, token boundaries come from one vectorized
+    separator scan, the per-token FNV-1a chain runs as numpy slice ops over
+    every token at once (the only loop is over byte POSITIONS, bounded by the
+    longest token), and bit votes fold back per row via packed-lane
+    ``add.reduceat``. Values are bit-for-bit identical to the scalar FNV-1a
+    reference (tests/test_textdedup_similarity.py golden)."""
+    n_rows = len(joined)
+    res = np.zeros(n_rows, dtype=np.int64)
+    counts = n_toks.fillna(0).to_numpy(dtype=np.int64)
+    counts = np.where(joined.isna().to_numpy(), 0, counts)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series(res)
+    # tokens are ASCII [a-z0-9]+ by construction → '\n' never collides
+    buf = np.frombuffer(("\n".join(joined[counts > 0]) + "\n").encode(), dtype=np.uint8)
+    ends = np.flatnonzero(buf == 10)
+    tok_starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - tok_starts
+    if len(lens) != total:  # defensive: JVM size() and separator scan must agree
+        raise ValueError(f"token count mismatch: {len(lens)} boundaries vs {total} sizes")
 
-    def tok_hashes(s: str) -> np.ndarray:
-        toks = _re.findall(r"[a-z0-9]+", (s or "").lower())
-        if not toks:
-            return np.zeros(0, dtype=np.uint64)
-        # FNV-1a 64 per token, numpy-free loop over tokens only (not chars)
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in t.encode():
-                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            out[i] = h
-        return out
+    # FNV chain over length-ASCENDING token order: at byte position j the
+    # still-active tokens (len > j) are a contiguous SUFFIX — pure slice math,
+    # no boolean masks, no padded byte matrix, no scatter/gather copies.
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    starts_s = tok_starts[order]
+    h = np.full(total, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(int(lens_s[-1])):  # loop over byte positions only
+        i0 = int(np.searchsorted(lens_s, j, side="right"))
+        b = buf[starts_s[i0:] + j].astype(np.uint64)
+        h[i0:] = (h[i0:] ^ b) * prime  # wraps mod 2^64
+    h_orig = np.empty_like(h)
+    h_orig[order] = h
 
-    res = np.zeros(len(text), dtype=np.int64)
-    bitpos = np.arange(64, dtype=np.uint64)
-    for row_i, s in enumerate(text):
-        h = tok_hashes(s)
-        if len(h) == 0:
-            continue
-        bits = ((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(h)  # +1 for set bit, -1 for unset
-        sim = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                sim |= np.uint64(1) << np.uint64(j)
-        res[row_i] = np.int64(sim)
+    # bit-vote: unpack each hash to 64 uint8 bit-lanes, then segment-sum the
+    # uint64 VIEW — 8 byte-lanes add carry-free per reduceat word as long as a
+    # segment holds ≤255 tokens, so longer rows are split into carry-safe
+    # subsegments first. ~80× faster than a per-bit int64 reduceat.
+    bits = np.unpackbits(h_orig.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nonempty = counts > 0
+    rs = row_starts[nonempty]
+    ne_counts = counts[nonempty]
+    max_seg = 255
+    n_sub = (ne_counts + max_seg - 1) // max_seg
+    if int(n_sub.max()) == 1:
+        sub_starts, sub_of_row = rs, None
+    else:
+        sub_starts = np.repeat(rs, n_sub) + np.concatenate(
+            [np.arange(k) * max_seg for k in n_sub]
+        )
+        sub_of_row = np.searchsorted(np.repeat(np.arange(len(rs)), n_sub), np.arange(len(rs)))
+    segsum = np.add.reduceat(bits.view(np.uint64), sub_starts, axis=0)
+    lane = segsum.view(np.uint8).reshape(len(sub_starts), 64).astype(np.int64)
+    votes = lane if sub_of_row is None else np.add.reduceat(lane, sub_of_row, axis=0)
+
+    set_bit = (votes * 2 - ne_counts[:, None]) > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sims = (set_bit.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    res[nonempty] = sims.astype(np.int64)  # two's-complement wrap, as before
     return pd.Series(res)
+
+
+def simhash64_col(text_col: Column | str) -> Column:
+    """text → SimHash64. Tokenization is NATIVE (lower + regexp_extract_all,
+    JVM-side, parity with ``re.findall('[a-z0-9]+', s.lower())``) and the
+    token list is JVM-joined to one string, so the Arrow boundary carries two
+    flat columns; only the hash/bit-vote numpy kernel crosses into Python."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(F.lower(t), F.lit(_SIMHASH_TOKEN_RE), 0)
+    return simhash_from_joined_udf(
+        F.concat_ws("\n", toks), F.coalesce(F.size(toks), F.lit(0))
+    )
 
 
 def simhash_candidate_pairs(
@@ -217,7 +267,7 @@ def simhash_candidate_pairs(
     """Near-dup pairs by SimHash: block on one of four 16-bit bands (any pair
     within Hamming ≤ 3 of 64 bits must agree on ≥1 band by pigeonhole when
     distance < 4), verify with native bit_count(xor)."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
+    sh = docs.select(F.col(id_col).alias("id"), simhash64_col(text_col).alias("simhash"))
     banded = sh.select(
         "id",
         "simhash",
