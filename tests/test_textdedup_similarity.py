@@ -119,6 +119,75 @@ def test_simhash_pairs(docs):
     assert all(not (a == 0 and b == 3) for a, b in pairs)
 
 
+def test_lsh_bucket_cap_unit(spark):
+    """_cap_buckets keeps the `cap` smallest ids per bucket and reports the cut."""
+    from web_crawling_prj_spark.operators.textdedup import _cap_buckets
+
+    rows = [(i, 0, 7) for i in range(1000)] + [(i, 1, 9) for i in range(10)]
+    banded = spark.createDataFrame(rows, "id long, band_id int, band_hash long")
+    stats = {}
+    kept = _cap_buckets(banded, ["band_id", "band_hash"], 50, stats).collect()
+    assert stats == {"dropped_bucket_rows": 950, "overflowed_buckets": 1}
+    hot = sorted(r.id for r in kept if r.band_id == 0)
+    assert hot == list(range(50))  # deterministic: smallest ids survive
+    assert sum(1 for r in kept if r.band_id == 1) == 10
+
+
+def test_minhash_identical_flood_is_linear(spark):
+    """10k byte-identical docs: the exact pre-pass collapses them to one
+    representative, so LSH sees 1 doc, no bucket overflows, and the pair set
+    is the O(N) representative star — never the O(N²) clique."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text repeated everywhere").alias("text")
+    )
+    stats = {}
+    pairs = minhash_candidate_pairs(docs, jaccard_threshold=0.5, stats_out=stats)
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # every member pairs with representative 0
+    assert all(r.id_a == 0 and r.est_jaccard == 1.0 for r in rows)
+    assert stats["dropped_bucket_rows"] == 0  # one rep → no hot bucket at all
+    kept = {r.doc_id for r in dedup_minhash(docs, jaccard_threshold=0.5).collect()}
+    assert kept == {0}
+
+
+def test_minhash_bucket_cap_wired_through(docs):
+    """bucket_cap=1 disables rep-vs-rep joins (each bucket keeps 1 row) but
+    exact-dup intra pairs survive; the drop is reported, not silent."""
+    stats = {}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            docs, jaccard_threshold=0.5, bucket_cap=1, stats_out=stats
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup via pre-pass, immune to the cap
+    assert (0, 2) not in pairs  # near-dup pair lost to cap=1...
+    assert stats["dropped_bucket_rows"] > 0  # ...and the loss is accounted for
+
+
+def test_simhash_identical_flood_and_cap(spark):
+    docs10k = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("identical simhash flood document body").alias("text")
+    )
+    stats = {}
+    pairs = simhash_candidate_pairs(docs10k, stats_out=stats)
+    assert pairs.count() == 4999
+    assert pairs.where("id_a != 0 OR hamming != 0").count() == 0
+    assert stats["dropped_bucket_rows"] == 0
+
+
+def test_embedding_near_dup_identical_flood(spark):
+    n = 2000
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)] + [(n, [4.0, -3.0, 2.0, -1.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    pairs = embedding_near_dup_pairs(e, dim=4, threshold=0.95, n_planes=4, stats_out=stats)
+    rows = pairs.collect()
+    assert len(rows) == n - 1 and all(r.id_a == 0 and r.cos_sim == 1.0 for r in rows)
+    assert stats["dropped_bucket_rows"] == 0
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.default_rng(7)

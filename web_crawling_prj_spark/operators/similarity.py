@@ -176,13 +176,39 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 256,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """(id_a < id_b, cos_sim ≥ τ) pairs within an LSH bucket — the
-    embedding-cosine tier of the dedup family."""
-    sig = hyperplane_signature_udf(dim, n_planes)
-    b = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", sig(F.col("v"))
+    """(id_a < id_b, cos_sim ≥ τ) pairs — the embedding-cosine tier of the
+    dedup family. Skew defenses mirror the text tiers (operators.textdedup):
+    byte-identical vectors collapse to a min-id representative pre-LSH and
+    pair with it directly (cos 1.0, O(group) rows); the within-bucket join is
+    capped at ``bucket_cap`` representatives per bucket (overflow counted in
+    ``stats_out``, logged) so one hot bucket can never go O(N²)."""
+    import logging
+
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    grp = v.groupBy("v").agg(F.min("id").alias("_rep"))
+    j = v.join(grp, "v")
+    intra = j.where(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("id").alias("id_b"), F.lit(1.0).alias("cos_sim")
     )
+    reps = j.where(F.col("id") == F.col("_rep")).select("id", "v")
+
+    sig = hyperplane_signature_udf(dim, n_planes)
+    b = reps.withColumn("bucket", sig(F.col("v")))
+    w = Window.partitionBy("bucket").orderBy(F.asc("id"))
+    ranked = b.withColumn("_bn", F.row_number().over(w))
+    if stats_out is not None:
+        dropped = ranked.where(F.col("_bn") > bucket_cap)
+        stats_out["dropped_bucket_rows"] = dropped.count()
+        if stats_out["dropped_bucket_rows"]:
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket cap %d truncated %d rows",
+                bucket_cap,
+                stats_out["dropped_bucket_rows"],
+            )
+    b = ranked.where(F.col("_bn") <= bucket_cap).drop("_bn")
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(
         y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
@@ -191,4 +217,4 @@ def embedding_near_dup_pairs(
         F.col("y.id").alias("id_b"),
         F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
     )
-    return pairs.where(F.col("cos_sim") >= threshold)
+    return pairs.where(F.col("cos_sim") >= threshold).unionByName(intra)

@@ -24,13 +24,72 @@ higher-order functions — no Python in the signature path.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from web_crawling_prj_spark.functions.text import doc_fingerprint, normalized_fingerprint
+
+logger = logging.getLogger(__name__)
+
+
+# --- LSH skew defenses (shared by minhash / simhash / embedding tiers) ---
+#
+# Real webtext is boilerplate-heavy: one hot LSH bucket (N near-identical docs)
+# turns the within-bucket pair join O(N²) — a job-killer at 100 TB. Two
+# mandatory defenses:
+# 1. exact-dedup PRE-PASS: byte-identical docs collapse to their min-id
+#    representative BEFORE signatures; members pair with their representative
+#    directly (O(group) rows, similarity exactly 1), so the clique never forms;
+# 2. deterministic BUCKET CAP: at most `bucket_cap` representatives (smallest
+#    ids) join within any (band, hash) bucket; the overflow row count is
+#    reported via ``stats_out`` / logged, never silently dropped.
+# Pairs are a dedup-sufficient sparse certificate (every duplicate doc gets ≥1
+# partner of smaller id), NOT the full O(g²) clique.
+
+
+def _exact_groups(docs: DataFrame, id_col: str, text_col: str):
+    """(representatives, intra_pairs): collapse byte-identical docs.
+
+    representatives: one (id, text) row per distinct text (min id wins);
+    intra_pairs: (id_a=rep, id_b=member) for every non-representative member.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text"), doc_fingerprint(text_col).alias("_fp")
+    )
+    grp = fp.groupBy("_fp").agg(F.min("id").alias("_rep"))
+    j = fp.join(grp, "_fp")
+    reps = j.where(F.col("id") == F.col("_rep")).select("id", "_text")
+    intra = j.where(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return reps, intra
+
+
+def _cap_buckets(
+    banded: DataFrame, bucket_keys: list[str], bucket_cap: int, stats_out: dict | None
+) -> DataFrame:
+    """Keep the `bucket_cap` smallest ids per bucket; count what was cut."""
+    w = Window.partitionBy(*bucket_keys).orderBy(F.asc("id"))
+    ranked = banded.withColumn("_bn", F.row_number().over(w))
+    if stats_out is not None:
+        dropped = ranked.where(F.col("_bn") > bucket_cap)
+        stats_out["dropped_bucket_rows"] = dropped.count()
+        stats_out["overflowed_buckets"] = (
+            dropped.select(*bucket_keys).distinct().count()
+        )
+        if stats_out["dropped_bucket_rows"]:
+            logger.warning(
+                "LSH bucket cap %d truncated %d rows across %d hot buckets",
+                bucket_cap,
+                stats_out["dropped_bucket_rows"],
+                stats_out["overflowed_buckets"],
+            )
+    return ranked.where(F.col("_bn") <= bucket_cap).drop("_bn")
 
 
 # --- tier 1/2: exact ---
@@ -107,15 +166,21 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    bucket_cap: int = 256,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """(id_a < id_b, est_jaccard) pairs sharing ≥1 LSH band, filtered by the
-    signature-estimated Jaccard (fraction of agreeing minhashes)."""
+    """(id_a < id_b, est_jaccard) near-dup pairs: exact groups pair with their
+    representative (est_jaccard 1.0); representatives pair via LSH banding
+    (≥1 shared band, capped per bucket), filtered by the signature-estimated
+    Jaccard (fraction of agreeing minhashes). See skew-defense note above."""
     rows = num_hashes // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    reps, intra = _exact_groups(docs, id_col, text_col)
+    sigs = reps.select(
+        "id",
+        minhash_signature("_text", num_hashes, shingle_n).alias("sig"),
     ).withColumn("band", F.explode(F.arrays_zip(F.sequence(F.lit(0), F.lit(bands - 1)).alias("band_id"), minhash_bands("sig", bands, rows).alias("band_hash"))))
     banded = sigs.select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap, stats_out)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -137,7 +202,12 @@ def minhash_candidate_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.size(F.col("sig_a"))
     )
-    return pairs.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= jaccard_threshold).drop("sig_a", "sig_b")
+    rep_pairs = (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .drop("sig_a", "sig_b")
+    )
+    return rep_pairs.unionByName(intra.withColumn("est_jaccard", F.lit(1.0)))
 
 
 def dedup_minhash(
@@ -263,11 +333,15 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int = 256,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on one of four 16-bit bands (any pair
+    """Near-dup pairs by SimHash: exact groups pair with their representative
+    (hamming 0); representatives block on one of four 16-bit bands (any pair
     within Hamming ≤ 3 of 64 bits must agree on ≥1 band by pigeonhole when
-    distance < 4), verify with native bit_count(xor)."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash64_col(text_col).alias("simhash"))
+    distance < 4, capped per bucket), verified with native bit_count(xor)."""
+    reps, intra = _exact_groups(docs, id_col, text_col)
+    sh = reps.select("id", simhash64_col("_text").alias("simhash"))
     banded = sh.select(
         "id",
         "simhash",
@@ -275,6 +349,7 @@ def simhash_candidate_pairs(
             F.array(*[F.struct(F.lit(j).alias("band_id"), F.shiftright("simhash", j * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val")) for j in range(4)])
         ).alias("b"),
     ).select("id", "simhash", "b.band_id", "b.band_val")
+    banded = _cap_buckets(banded, ["band_id", "band_val"], bucket_cap, stats_out)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -290,4 +365,6 @@ def simhash_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return pairs.where(F.col("hamming") <= max_hamming).unionByName(
+        intra.withColumn("hamming", F.lit(0))
+    )
