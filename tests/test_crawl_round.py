@@ -171,6 +171,58 @@ def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
     assert _final_state(store, spark) == _final_state(store2, spark)
 
 
+def test_seen_compaction_equivalence_and_path_bound(spark, tmp_path, crawl_inputs):
+    """Compaction is a pure layout rewrite: an 8-round crawl compacting every
+    3 rounds produces the identical seen-set/schedule as one that never
+    compacts (itself kill/resumed mid-run), while its seen-set scan reads
+    O(1+K) directories instead of one per round."""
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    ca = dataclasses.replace(cfg, compact_every=3)
+    ca.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    cb = dataclasses.replace(cfg, compact_every=0)
+    cb.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+
+    a = StateStore(str(tmp_path / "ca"))
+    run_crawl(spark, a, pages, robots, seeds, rounds=8, cfg=ca)
+    b = StateStore(str(tmp_path / "cb"))
+    run_crawl(spark, b, pages, robots, seeds, rounds=4, cfg=cb)  # "killed" …
+    run_crawl(spark, b, pages, robots, seeds, rounds=8, cfg=cb)  # … resumed
+
+    assert _final_state(a, spark) == _final_state(b, spark)
+    assert a.base_upto("seen_delta") == 6  # last multiple of 3 ≤ 8
+    # directory bound: base + deltas 7,8 (+ the empty init round pruned by data)
+    import os
+
+    dirs = {os.path.dirname(f.replace("file:", "")) for f in a.read_all(spark, "seen_delta").inputFiles()}
+    assert len(dirs) <= 3, dirs
+
+    # vacuum reclaims folded dirs without changing the data
+    before = a.read_all(spark, "seen_delta").count()
+    n = a.vacuum_compacted("seen_delta")
+    assert n > 0
+    assert a.read_all(spark, "seen_delta").count() == before
+    shutil.rmtree(str(tmp_path / "ca"))
+    shutil.rmtree(str(tmp_path / "cb"))
+
+
+def test_kill_mid_compaction_is_safe(spark, tmp_path, crawl_inputs):
+    """A compaction that died before the pointer swap leaves garbage the next
+    compact() overwrites; read_all never sees a half-written base."""
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "mc"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    # fabricate a dead half-compaction: base dir exists, no pointer
+    dead = store._base_dir("seen_delta", 2)
+    store.read_all(spark, "seen_delta").limit(1).write.parquet(dead)
+    assert store.base_upto("seen_delta") is None
+    full = store.read_all(spark, "seen_delta").count()
+    store.compact(spark, "seen_delta", up_to=2, num_buckets=cfg.num_buckets)
+    assert store.base_upto("seen_delta") == 2
+    assert store.read_all(spark, "seen_delta").count() == full
+
+
 def test_circuit_open_then_half_open(spark, tmp_path, crawl_inputs):
     """Forced circuit states: open host schedules nothing (rows deferred);
     half-open host schedules exactly one probe URL."""

@@ -60,3 +60,24 @@ def test_failed_minus_succeeded(spark):
     allv = spark.range(10).select(F.col("id").alias("url_hash"))
     ok = spark.range(0, 6).select(F.col("id").alias("url_hash"))
     assert {r.url_hash for r in failed_minus_succeeded(allv, ok).collect()} == {6, 7, 8, 9}
+
+
+def test_bloom_broadcast_lifecycle(spark):
+    """Caller-owned broadcast: same results as the one-shot path, and after
+    destroy() the executors really lose the bitmaps (reuse fails) — proving
+    run_round's per-round destroy actually frees memory instead of leaking
+    one bitmap per round."""
+    from web_crawling_prj_spark.operators.bloom import broadcast_bloom, build_sharded_bloom
+
+    frontier = _frontier(spark, 1000)
+    seen = spark.range(0, 400).select(F.xxhash64("id").alias("url_hash"))
+    expected = {r.url_hash for r in frontier.collect()} - {r.url_hash for r in seen.collect()}
+    bloom = build_sharded_bloom(seen, num_shards=8, expected_per_shard=100, fpp=0.01)
+    bcast = broadcast_bloom(spark, bloom)
+    out = anti_join_seen(frontier, seen, bloom=bloom, bloom_bcast=bcast)
+    assert {r.url_hash for r in out.collect()} == expected
+    bcast.destroy()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        anti_join_seen(frontier, seen, bloom=bloom, bloom_bcast=bcast).collect()

@@ -127,14 +127,27 @@ def bloom_from_bytes(data: bytes) -> ShardedBloom:
     return ShardedBloom(bits=bits, num_shards=p, m_bits=m_bits, k=k)
 
 
-def might_contain(bloom: ShardedBloom, hash_col: Column | str = "url_hash", spark=None) -> Column:
+def broadcast_bloom(spark, bloom: ShardedBloom):
+    """Ship the shard bitmaps as a broadcast variable. The CALLER owns the
+    lifecycle: destroy() it once the round's jobs are done — a long crawl that
+    broadcasts a fresh P×m-byte bitmap every round and never releases the old
+    one accumulates them on every executor."""
+    return spark.sparkContext.broadcast(bloom.bits)
+
+
+def might_contain(
+    bloom: ShardedBloom, hash_col: Column | str = "url_hash", spark=None, bcast=None
+) -> Column:
     """Vectorized probe column. False ⇒ definitely unseen.
 
-    Pass ``spark`` to ship the bitmaps as a broadcast variable (once per executor)
-    instead of a closure capture (once per task) — required etiquette at scale.
+    Pass ``bcast`` (from :func:`broadcast_bloom`) so the bitmaps ship once per
+    executor AND the caller can destroy them after the round; passing ``spark``
+    instead creates a one-shot broadcast the caller cannot release (fine for
+    single-query use, wrong inside a round loop).
     """
     p, m_bits, k = bloom.num_shards, bloom.m_bits, bloom.k
-    bcast = spark.sparkContext.broadcast(bloom.bits) if spark is not None else None
+    if bcast is None and spark is not None:
+        bcast = spark.sparkContext.broadcast(bloom.bits)
     plain_bits = None if bcast is not None else bloom.bits
 
     @F.pandas_udf(BooleanType())

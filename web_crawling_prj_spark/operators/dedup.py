@@ -58,15 +58,20 @@ def anti_join_seen(
     bloom: ShardedBloom | None = None,
     broadcast_seen: bool = False,
     spark=None,
+    bloom_bcast=None,
 ) -> DataFrame:
     """pending = frontier ∖ seen. Exact anti-join is always the authority;
-    the Bloom tier only routes provably-unseen rows around the shuffle."""
+    the Bloom tier only routes provably-unseen rows around the shuffle.
+    ``bloom_bcast``: caller-owned broadcast of the bloom bits (see
+    operators.bloom.broadcast_bloom) so round loops can release it."""
     seen_keys = seen.select(key)
     if broadcast_seen:
         seen_keys = F.broadcast(seen_keys)
     if bloom is None:
         return frontier.join(seen_keys, key, "left_anti")
-    probed = frontier.withColumn("_maybe_seen", might_contain(bloom, key, spark=spark))
+    probed = frontier.withColumn(
+        "_maybe_seen", might_contain(bloom, key, spark=spark, bcast=bloom_bcast)
+    )
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = candidates.join(seen_keys, key, "left_anti")

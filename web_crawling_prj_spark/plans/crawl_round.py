@@ -41,6 +41,7 @@ from web_crawling_prj_spark.functions.urls import canonicalize_url_udf, host_of
 from web_crawling_prj_spark.operators.bloom import (
     bloom_from_bytes,
     bloom_to_bytes,
+    broadcast_bloom,
     build_sharded_bloom,
     merge_blooms,
 )
@@ -82,6 +83,11 @@ class CrawlConfig:
     # Deterministic (power iteration over committed lineage), so resume/
     # parallelism invariants hold with it enabled.
     pagerank_weight: float = 0.0
+    # fold seen_delta round dirs into a bucketed base every K rounds so the
+    # per-round seen-set scan lists O(1+K) paths forever (0 = off). Pure
+    # file-layout rewrite, never a semantics change; resume-safe (atomic
+    # pointer swap, old dirs kept).
+    compact_every: int = 8
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -160,6 +166,8 @@ def run_round(
     # store (puffin-style sidecar) and each round ORs in a delta built from its
     # own (small) seen_delta — the full seen-set is never rescanned.
     bloom = None
+    bloom_bcast = None  # round-owned broadcast, destroyed before return — a
+    # thousand-round crawl must not accumulate P×m-byte bitmaps on executors
     if seen is not None:
         if cfg.use_bloom:
             raw = store.load_bloom(round_id - 1)
@@ -172,7 +180,8 @@ def run_round(
                     expected_per_shard=cfg.bloom_expected_per_shard,
                     fpp=cfg.bloom_fpp,
                 )
-        pending = anti_join_seen(eligible, seen, bloom=bloom, spark=spark)
+            bloom_bcast = broadcast_bloom(spark, bloom)
+        pending = anti_join_seen(eligible, seen, bloom=bloom, bloom_bcast=bloom_bcast)
     else:
         pending = eligible
 
@@ -337,6 +346,8 @@ def run_round(
     fetch_log.unpersist()
     gated.unpersist()
     scheduled.unpersist()
+    if bloom_bcast is not None:
+        bloom_bcast.destroy()  # all consumers committed; release executor copies
     totals = [sum(v[i] for v in summary.values()) for i in range(3)]
     return {
         "round_id": round_id,
@@ -394,4 +405,6 @@ def run_crawl(
     stats = []
     for r in range(last + 1, rounds + 1):
         stats.append(run_round(spark, store, pages, robots, r, cfg))
+        if cfg.compact_every and r % cfg.compact_every == 0:
+            store.compact(spark, "seen_delta", up_to=r, num_buckets=cfg.num_buckets)
     return stats

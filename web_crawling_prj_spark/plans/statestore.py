@@ -109,6 +109,80 @@ class StateStore:
         with open(path, "rb") as f:
             return f.read()
 
+    # --- compaction (Iceberg rewrite_data_files analog) ---
+    #
+    # read_all unions one directory per committed round; at round 10^4 every
+    # seen-set scan would list 10^4 dirs and the bloom-rebuild fallback would
+    # rescan all of them. compact() folds everything ≤ up_to into ONE base dir
+    # and atomically swaps a pointer file; read_all then lists
+    # O(1 + rounds since compaction) paths. Old round dirs are left in place
+    # (read_round/audit still work) — vacuum_compacted() reclaims them.
+
+    def _base_pointer_path(self, table: str) -> str:
+        return os.path.join(self.root, "_manifests", f"{table}.base.json")
+
+    def base_upto(self, table: str) -> int | None:
+        path = self._base_pointer_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)["upto"]
+
+    def _base_dir(self, table: str, upto: int) -> str:
+        return os.path.join(self.root, f"{table}__base", f"upto={upto:06d}")
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        up_to: int | None = None,
+        num_buckets: int | None = None,
+        bucket_col: str = "bucket",
+    ) -> int | None:
+        """Fold base + deltas ≤ up_to into a new base; atomic pointer swap.
+
+        A kill mid-compaction leaves the old pointer in place — the store is
+        never in a half-compacted state. Returns the new base round or None
+        if there is nothing to compact.
+        """
+        rounds = [
+            r
+            for r in self.committed_rounds()
+            if (up_to is None or r <= up_to) and os.path.exists(self._table_round_dir(table, r))
+        ]
+        prev = self.base_upto(table)
+        if not rounds or (prev is not None and max(rounds) <= prev):
+            return None
+        upto = max(rounds)
+        df = self.read_all(spark, table, up_to=upto)
+        if num_buckets and bucket_col in df.columns:
+            df = df.repartition(num_buckets, bucket_col)  # keep the join layout
+        new_dir = self._base_dir(table, upto)
+        if os.path.exists(new_dir):
+            shutil.rmtree(new_dir)
+        df.write.mode("overwrite").parquet(new_dir)
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"table": table, "upto": upto}, f)
+        os.rename(tmp, self._base_pointer_path(table))  # atomic publish
+        if prev is not None and os.path.exists(self._base_dir(table, prev)):
+            shutil.rmtree(self._base_dir(table, prev))  # superseded base
+        return upto
+
+    def vacuum_compacted(self, table: str) -> int:
+        """Delete per-round dirs already folded into the base. Irreversible for
+        read_round on those rounds; read_all is unaffected."""
+        upto = self.base_upto(table)
+        if upto is None:
+            return 0
+        n = 0
+        for r in self.committed_rounds():
+            d = self._table_round_dir(table, r)
+            if r <= upto and os.path.exists(d):
+                shutil.rmtree(d)
+                n += 1
+        return n
+
     # --- read path (only committed rounds are visible) ---
 
     def has_table(self, table: str, round_id: int) -> bool:
@@ -126,17 +200,32 @@ class StateStore:
     def read_all(self, spark: SparkSession, table: str, up_to: int | None = None) -> DataFrame | None:
         """Union of a table across all committed rounds (e.g. the full seen-set).
 
-        Reads go through one multi-path parquet scan → a single job with
-        partition pruning by directory, not N sequential reads.
+        Compaction-aware: reads the base (if its upto ≤ requested) plus only
+        the round deltas after it — O(1 + K) paths, not O(rounds). Deltas go
+        through one multi-path parquet scan → a single job with partition
+        pruning by directory, not N sequential reads.
         """
         rounds = self.committed_rounds()
         if up_to is not None:
             rounds = [r for r in rounds if r <= up_to]
+        base = self.base_upto(table)
+        base_df = None
+        floor = -1
+        if base is not None and (up_to is None or base <= up_to):
+            base_df = spark.read.parquet(self._base_dir(table, base))
+            floor = base
         paths = [
             self._table_round_dir(table, r)
             for r in rounds
-            if os.path.exists(self._table_round_dir(table, r))
+            if r > floor and os.path.exists(self._table_round_dir(table, r))
         ]
-        if not paths:
-            return None
-        return spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+        delta_df = (
+            spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+            if paths
+            else None
+        )
+        if base_df is None:
+            return delta_df
+        if delta_df is None:
+            return base_df
+        return base_df.unionByName(delta_df)
