@@ -140,10 +140,21 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
 # --- tier 3: MinHash + LSH ---
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """Array of `num_hashes` minima of seeded xxhash64 over shingles (native)."""
+    """Array of `num_hashes` minima of seeded xxhash64 over shingles (native).
+
+    Built as ONE ``transform`` producing a per-shingle array of all seeded
+    hashes, folded with elementwise ``least`` — NOT as `num_hashes` sibling
+    ``transform`` lambdas: Spark resolves sibling higher-order-function lambdas
+    in one projection to the same lambda variable and collapses them, silently
+    turning 32 seeded permutations into 1 (caught by the exact-Jaccard golden
+    in tests/test_query_goldens.py)."""
     sh = shingles_col(text_col, shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    per_shingle = F.transform(
+        sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+    )
+    init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        per_shingle, init, lambda acc, v: F.zip_with(acc, v, lambda a, b: F.least(a, b))
     )
 
 
