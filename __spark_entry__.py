@@ -455,6 +455,25 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_run_summary(spark, sf_dir):
+    """C20/C4: run-report aggregation via the engine's run_summary operator
+    (error_handler.py:282-306 success-rate parity + half-failure abort flag)
+    over a metrics table derived deterministically from events."""
+    from web_crawling_prj_spark.plans.reports import run_summary
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        (F.col("event_id") % 5).cast("int").alias("round_id"),
+        (F.col("user_id") % 8).alias("bucket"),
+    ).agg(
+        F.count("*").alias("scheduled_cnt"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).alias("fetched_ok_cnt"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failed_cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("retried_cnt"),
+    )
+    return run_summary(m, fail_threshold_ratio=0.25)
+
+
 def q_rollup_order_counts(spark, sf_dir):
     """ROLLUP aggregation (status × priority hierarchy with subtotals)."""
     o = _t(spark, sf_dir, "orders")
@@ -611,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "asof_purchase_before_error": q_asof_purchase_before_error,
         "sessionize_events": q_sessionize_events,
+        "run_summary": q_run_summary,
         "rollup_order_counts": q_rollup_order_counts,
         # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
@@ -891,6 +911,23 @@ SELECT event_id, user_id,
        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
 FROM g
+""",
+        "run_summary": """
+WITH m AS (
+  SELECT CAST(event_id % 5 AS INT) AS round_id, user_id % 8 AS bucket,
+         count(*) AS scheduled_cnt,
+         sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS ok_cnt,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_cnt,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS retried_cnt
+  FROM events GROUP BY 1, 2)
+SELECT round_id,
+       CAST(sum(scheduled_cnt) AS BIGINT) AS scheduled,
+       CAST(sum(ok_cnt) AS BIGINT) AS ok,
+       CAST(sum(failed_cnt) AS BIGINT) AS failed,
+       CAST(sum(retried_cnt) AS BIGINT) AS retried,
+       round((sum(scheduled_cnt) - sum(failed_cnt)) * 100.0 / sum(scheduled_cnt), 4) AS success_rate_pct,
+       sum(failed_cnt) >= ceil(sum(scheduled_cnt) * 0.25) AS run_failed
+FROM m GROUP BY round_id
 """,
         "rollup_order_counts": """
 SELECT o_orderstatus, o_orderpriority,

@@ -77,3 +77,21 @@ def test_json_dir_scan_with_file_key(spark, tmp_path):
     )
     got = {(r.sku, r.price) for r in out.collect()}
     assert got == {("SKU1", 9.5), ("SKU2", 7.0)}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S7/S13: real JDBC write+read round-trip against the Derby embedded
+    database that ships with Spark — append mode really appends, the scan
+    returns the written rows (reference data_reader.py:25 /
+    data_loader.py:464-506)."""
+    from web_crawling_prj_spark.sources.readers import _jdbc
+    from web_crawling_prj_spark.sources.sinks import jdbc_append
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    jdbc_append(df, url, "t1", driver=drv)
+    back = _jdbc(spark, url, table="t1", driver=drv)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+    jdbc_append(df, url, "t1", driver=drv)
+    assert _jdbc(spark, url, table="t1", driver=drv).count() == 4

@@ -171,6 +171,67 @@ def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
     assert _final_state(store, spark) == _final_state(store2, spark)
 
 
+def test_robots_refresh_blocks_host_next_round(spark, tmp_path, crawl_inputs):
+    """C13: the between-rounds robots_source hook — a host whose robots.txt
+    turns to Disallow:/ after round 1 is scheduled in round 1 but never again."""
+    from web_crawling_prj_spark.sources.pages_gen import robots_txt_df
+
+    pages, robots, seeds, cfg = crawl_inputs
+    hot = "host-0000.example"
+
+    def robots_source(s, round_id):
+        raw = robots_txt_df(s)
+        if round_id <= 1:
+            return raw
+        hostile = F.when(
+            F.col("host") == hot, F.lit("User-agent: *\nDisallow: /\n")
+        ).otherwise(F.col("robots_txt"))
+        return raw.select("host", hostile.alias("robots_txt"))
+
+    store = StateStore(str(tmp_path / "rr"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg, robots_source=robots_source)
+    log = store.read_all(spark, "fetch_log")
+    per_round = {
+        r.round_id: r.n
+        for r in log.where(F.col("host") == hot)
+        .groupBy("round_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_round.get(1, 0) > 0  # scheduled while allowed
+    assert per_round.get(2, 0) == 0 and per_round.get(3, 0) == 0  # gone after refresh
+
+
+def test_run_report_committed_and_abort_threshold(spark, tmp_path, crawl_inputs):
+    """C20/C4: every round commits a run_report row (success-rate parity with
+    the metrics table); with abort_on_failed_run a flood of failures raises
+    AFTER the round committed (resume-consistent abort)."""
+    import dataclasses
+
+    from web_crawling_prj_spark.plans.reports import run_summary
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = StateStore(str(tmp_path / "rep"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    for r in (1, 2):
+        rep = store.read_round(spark, "run_report", r).collect()
+        assert len(rep) == 1 and rep[0].round_id == r
+        m = store.read_round(spark, "metrics", r)
+        exp = run_summary(m).first()
+        assert rep[0].asDict() == exp.asDict()
+        assert not rep[0].run_failed  # 2.8% synthetic failure rate ≪ 50%
+
+    # force a failing run: ~99% failure per-mille → threshold trips → raises
+    bad = dataclasses.replace(cfg, failure_per_mille=990)
+    bad.extra = dict(cfg.extra, abort_on_failed_run=True)
+    store2 = StateStore(str(tmp_path / "rep2"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="failed"):
+        run_crawl(spark, store2, pages, robots, seeds, rounds=1, cfg=bad)
+    assert store2.last_committed_round() == 1  # abort happened post-commit
+
+
 def test_seen_compaction_equivalence_and_path_bound(spark, tmp_path, crawl_inputs):
     """Compaction is a pure layout rewrite: an 8-round crawl compacting every
     3 rounds produces the identical seen-set/schedule as one that never

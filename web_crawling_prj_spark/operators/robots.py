@@ -74,6 +74,16 @@ def robots_allows(path: Column, disallow_prefixes: Column) -> Column:
     return no_rules | ~blocked
 
 
+def parse_robots_table(raw_robots: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, disallow_prefixes, crawl_delay_ms).
+
+    The production shape: fetch /robots.txt per host into a raw table, parse
+    once per host with the Arrow UDF, broadcast the result to every gate."""
+    return raw_robots.select("host", parse_robots_udf("robots_txt").alias("_r")).select(
+        "host", "_r.disallow_prefixes", "_r.crawl_delay_ms"
+    )
+
+
 def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Filter frontier rows disallowed by their host's rules.
 

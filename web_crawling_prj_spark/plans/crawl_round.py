@@ -313,6 +313,10 @@ def run_round(
         .withColumn("round_id", F.lit(round_id))
     )
 
+    # run report (C20/C4 completion): the alerting row the reference renders
+    # into its Teams card, committed per round next to the metrics it summarizes
+    from web_crawling_prj_spark.plans.reports import run_summary
+
     new_host_state = update_circuit_state(prev_host_state, fetch_log)
     store.commit_round(
         round_id,
@@ -322,6 +326,7 @@ def run_round(
             "fetch_log": fetch_log.drop("max_attempts"),
             "metrics": metrics,
             "host_state": new_host_state,
+            "run_report": run_summary(metrics),
         },
         extra_meta={"round_ts": round_ts},
     )
@@ -343,6 +348,19 @@ def run_round(
         r["bucket"]: (r["scheduled_cnt"], r["fetched_ok_cnt"], r["failed_cnt"])
         for r in committed_metrics.collect()
     }
+    # batch/run failure threshold (reference C4/C5): abort AFTER committing so
+    # a resumed run (mode='failed' analog) starts from consistent state
+    if cfg.extra.get("abort_on_failed_run"):
+        report = store.read_round(spark, "run_report", round_id).first()
+        if report and report["run_failed"]:
+            fetch_log.unpersist()
+            gated.unpersist()
+            scheduled.unpersist()
+            if bloom_bcast is not None:
+                bloom_bcast.destroy()
+            raise RuntimeError(
+                f"round {round_id} failed: {report['failed']}/{report['scheduled']} fetches failed"
+            )
     fetch_log.unpersist()
     gated.unpersist()
     scheduled.unpersist()
@@ -391,12 +409,22 @@ def run_crawl(
     seeds: DataFrame,
     rounds: int,
     cfg: CrawlConfig | None = None,
+    robots_source=None,
 ) -> list[dict]:
     """Drive `rounds` crawl rounds, resuming from the last committed round.
 
     Reference C17: a killed run re-derives pending work from committed state —
     here that is literally `last_committed_round() + 1`.
+
+    ``robots_source``: optional ``(spark, round_id) -> DataFrame[host,
+    robots_txt]`` — the between-rounds credential/config refresh hook
+    (reference C13, services/credential_refresh_service.py:38-169): each round
+    re-fetches the raw per-host rules and re-parses them, so a host that turns
+    hostile mid-crawl stops being scheduled from the NEXT round on. When None,
+    the pre-parsed ``robots`` table is used unchanged all run.
     """
+    from web_crawling_prj_spark.operators.robots import parse_robots_table
+
     cfg = cfg or CrawlConfig()
     last = store.last_committed_round()
     if last is None:
@@ -404,6 +432,8 @@ def run_crawl(
         last = 0
     stats = []
     for r in range(last + 1, rounds + 1):
+        if robots_source is not None:
+            robots = parse_robots_table(robots_source(spark, r))
         stats.append(run_round(spark, store, pages, robots, r, cfg))
         if cfg.compact_every and r % cfg.compact_every == 0:
             store.compact(spark, "seen_delta", up_to=r, num_buckets=cfg.num_buckets)

@@ -21,6 +21,37 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_summary(metrics: DataFrame, fail_threshold_ratio: float = 0.5) -> DataFrame:
+    """Per-round run report from the committed metrics table — the alerting
+    aggregation the reference renders into its Teams card
+    (services/error_handler.py:282-306 success-rate math +
+    dags/common/base_init_reports_dag.py:187-192 half-failure abort flag).
+
+    Input: per-(round, bucket) counters (scheduled_cnt, fetched_ok_cnt,
+    failed_cnt, retried_cnt). Output: one row per round with totals,
+    success_rate_pct = (ops - errors) / ops * 100, and run_failed =
+    failed ≥ ⌈scheduled · ratio⌉ (ceil, not round — banker's rounding would
+    flag 2 of 5)."""
+    agg = metrics.groupBy("round_id").agg(
+        F.sum("scheduled_cnt").alias("scheduled"),
+        F.sum("fetched_ok_cnt").alias("ok"),
+        F.sum("failed_cnt").alias("failed"),
+        F.sum("retried_cnt").alias("retried"),
+    )
+    return agg.select(
+        "round_id",
+        "scheduled",
+        "ok",
+        "failed",
+        "retried",
+        F.round((F.col("scheduled") - F.col("failed")) * 100.0 / F.col("scheduled"), 4).alias(
+            "success_rate_pct"
+        ),
+        (F.col("failed") >= F.ceil(F.col("scheduled") * fail_threshold_ratio)).alias("run_failed"),
+    )
 
 
 @dataclass
