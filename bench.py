@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from web_crawling_prj_spark.functions.hashing import url_hash
-from web_crawling_prj_spark.operators.bloom import build_sharded_bloom
+from web_crawling_prj_spark.operators.bloom import broadcast_bloom, build_sharded_bloom
 from web_crawling_prj_spark.operators.dedup import anti_join_seen
 from web_crawling_prj_spark.operators.politeness import schedule_round
 from web_crawling_prj_spark.session import get_spark
@@ -83,6 +83,7 @@ def bench_frontier_core(spark, n: int, n_salts: int = 16, budget: int = 100, use
     # region is exactly the per-round path: bloom-probe → exact anti-join on
     # survivors → salted politeness rank.
     bloom = None
+    bcast = None
     bloom_build_s = 0.0
     if use_bloom:
         t0 = time.time()
@@ -90,11 +91,14 @@ def bench_frontier_core(spark, n: int, n_salts: int = 16, budget: int = 100, use
             seen, num_shards=32, expected_per_shard=max(1000, n // 64), fpp=0.01
         )
         bloom_build_s = round(time.time() - t0, 3)
+        bcast = broadcast_bloom(spark, bloom)
     t0 = time.time()
-    pending = anti_join_seen(frontier, seen, bloom=bloom, spark=spark)
+    pending = anti_join_seen(frontier, seen, bloom=bloom, bloom_bcast=bcast)
     scheduled = schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
     n_sched = scheduled.count()
     wall = time.time() - t0
+    if bcast is not None:
+        bcast.destroy()  # round-scoped lifecycle, same as plans.crawl_round
     return {
         "n_input": n,
         "n_scheduled": n_sched,
@@ -204,6 +208,58 @@ def main():
     pages.unpersist()
     extract = {"n_pages": n_pages, "wall_s": round(extract_wall, 3), "rate": round(n_pages / extract_wall, 1)}
 
+    # simhash signature throughput (vectorized kernel — the dedup tier hot path)
+    from web_crawling_prj_spark.operators.textdedup import simhash64_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").persist()
+    n_docs = docs.count()
+    docs.select(F.max(simhash64_col("text"))).collect()  # warm workers/codegen
+    t0 = time.time()
+    docs.select(F.max(simhash64_col("text"))).collect()
+    sh_wall = time.time() - t0
+    docs.unpersist()
+    simhash = {"n_docs": n_docs, "wall_s": round(sh_wall, 3), "rate": round(n_docs / sh_wall, 1)}
+
+    # ANN vs exact brute force: recall@10 for planted noisy-copy queries (the
+    # only honest recall on otherwise-random vectors) + both walls
+    import numpy as np
+
+    from web_crawling_prj_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    qrows = [
+        (int(r.vec_id), [float(x) + 0.03 * float(e) for x, e in zip(r.embedding, rng.standard_normal(dim))])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    q = spark.createDataFrame(qrows, "query_id long, query_vec array<float>")
+    t0 = time.time()
+    exact = brute_force_topk(emb, q, k=10).persist()
+    exact.count()
+    bf_wall = time.time() - t0
+    t0 = time.time()
+    ann_df = lsh_bucketed_topk(emb, q, dim=dim, k=10, n_planes=10, n_probes=3).persist()
+    ann_df.count()
+    ann_wall = time.time() - t0
+    ann = {
+        "n_vectors": n_emb,
+        "dim": dim,
+        "brute_wall_s": round(bf_wall, 3),
+        "ann_wall_s": round(ann_wall, 3),
+        "ann_recall_at_10": round(recall_at_k(ann_df, exact, 10), 4),
+        "n_probes": 3,
+        "n_planes": 10,
+    }
+    emb.unpersist()
+    exact.unpersist()
+    ann_df.unpersist()
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -229,6 +285,8 @@ def main():
         "sf": sf,
         "frontier_core": core,
         "extract_pages_per_sec": extract,
+        "simhash_docs_per_sec": simhash,
+        "ann": ann,
         "cpus": cpus,
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):

@@ -206,3 +206,24 @@ def test_pivot_first(spark):
     out = pivot_first(df, "sku", "d", "win", values=["2025-01-01", "2025-01-02"]).collect()
     m = {r.sku: (r["2025-01-01"], r["2025-01-02"]) for r in out}
     assert m == {"s1": (True, False), "s2": (False, None)}
+
+
+def test_dict_union_join(spark):
+    """J8 golden: {**header, **detail} — detail's value wins on overlap, header
+    fills the rest, one output row per detail row."""
+    from web_crawling_prj_spark.plans.mapping import dict_union_join
+
+    details = spark.createDataFrame(
+        [(1, "d1", 10.0), (1, "d2", None), (2, "d3", 30.0)],
+        "ded_id int, item string, amount double",
+    )
+    headers = spark.createDataFrame(
+        [(1, "APR", 99.0), (2, "MAY", 88.0), (3, "JUN", 77.0)],
+        "ded_id int, period string, amount double",
+    )
+    out = {(r.ded_id, r.item): (r.period, r.amount) for r in dict_union_join(details, headers, "ded_id").collect()}
+    assert out == {
+        (1, "d1"): ("APR", 10.0),
+        (1, "d2"): ("APR", None),  # detail wins even when null (dict-union)
+        (2, "d3"): ("MAY", 30.0),
+    }

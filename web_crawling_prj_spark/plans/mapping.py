@@ -76,3 +76,16 @@ def load_batch(
 def add_literal_columns(df: DataFrame, values: dict) -> DataFrame:
     """P3 parity: add literal/metadata columns in one withColumns call."""
     return df.withColumns({k: F.lit(v) for k, v in values.items()})
+
+
+def dict_union_join(details: DataFrame, headers: DataFrame, key: str | list[str]) -> DataFrame:
+    """J8: dict-union join — merge one header row into each detail row,
+    ``{**header, **detail}`` semantics (detail wins on overlapping columns;
+    reference dags/lowes/lowes_vendor/lowes_vendor.init_all_reports.py:62-66).
+
+    Headers are one row per key (typically tiny) → broadcast left join; the
+    detail side never shuffles.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    overlap = [c for c in headers.columns if c in details.columns and c not in keys]
+    return details.join(F.broadcast(headers.drop(*overlap)), keys, "left")
