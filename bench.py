@@ -124,8 +124,8 @@ def _scaling_child(cores: int, n: int) -> None:
     spark = get_spark(f"wcp-scale-{cores}", cores=cores, shuffle_partitions=cores)
     # warm the JVM/codegen with a small run so the measured run is steady-state
     bench_frontier_core(spark, 50_000)
-    # best-of-3: single-VM runs have high GC/JIT variance at 32 threads
-    runs = [bench_frontier_core(spark, n) for _ in range(3)]
+    # best-of-5: single-VM runs have high GC/JIT/host-contention variance
+    runs = [bench_frontier_core(spark, n) for _ in range(5)]
     res = min(runs, key=lambda r: r["wall_s"])
     res["walls_all"] = [r["wall_s"] for r in runs]
     expr = F.col("id")
