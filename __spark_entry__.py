@@ -405,6 +405,14 @@ def q_docs_by_lang(spark, sf_dir):
     )
 
 
+def q_winnowing_fps(spark, sf_dir):
+    """Document fingerprinting (rolling-hash winnowing, SIGMOD'03): per-doc
+    window-min k-gram fingerprints, exploded. md5 gram hashes keep the DuckDB
+    oracle value-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(T.winnowing_fingerprints("text")).alias("fp"))
+
+
 def q_exact_dup_flags(spark, sf_dir):
     """Dedup tier 1: exact-duplicate flag per doc via md5(text) fingerprint."""
     d = _t(spark, sf_dir, "documents")
@@ -626,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "docs_by_lang": q_docs_by_lang,
+        "winnowing_fps": q_winnowing_fps,
         "exact_dup_flags": q_exact_dup_flags,
         "embedding_topk": q_embedding_topk,
         "asof_purchase_before_error": q_asof_purchase_before_error,
@@ -882,6 +891,14 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY lang
+""",
+        "winnowing_fps": r"""
+WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                    i -> md5(substr(t, CAST(i AS INT), 8))) AS grams FROM n),
+w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                                   j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM w
 """,
         "exact_dup_flags": """
 WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)

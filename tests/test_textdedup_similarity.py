@@ -228,3 +228,46 @@ def test_lsh_topk_contains_self_and_neardup(spark, emb):
 def test_embedding_near_dup(spark, emb):
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, dim=8, threshold=0.99, n_planes=4).collect()}
     assert (3, 7) in pairs
+
+
+def test_winnowing_fingerprints_python_golden(spark, sf_dir):
+    """Winnowing (query `winnowing_fps`): Spark fingerprints equal an
+    independent hashlib/pure-Python winnowing over real documents."""
+    import hashlib
+    import re
+
+    from web_crawling_prj_spark.functions.text import winnowing_fingerprints
+
+    def pyref(text, k=8, w=4):
+        t = re.sub(r"\s+", " ", (text or "").lower())
+        grams = [hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(max(len(t) - k + 1, 1))]
+        mins = [min(grams[j : j + w]) for j in range(max(len(grams) - w + 1, 1))]
+        return sorted(set(mins))
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    rows = d.select("doc_id", "text", winnowing_fingerprints("text").alias("fp")).collect()
+    assert rows
+    for r in rows:
+        assert sorted(r.fp) == pyref(r.text), f"doc {r.doc_id}"
+
+
+def test_winnowing_locality_guarantee(spark):
+    """The winnowing guarantee: any shared run of ≥ k+window-1 chars yields a
+    shared fingerprint — a doc with one copied sentence inside different text
+    shares fingerprints; disjoint docs share none."""
+    from web_crawling_prj_spark.operators.textdedup import winnowing_overlap_pairs
+
+    stolen = "this exact sentence was copied verbatim between two documents"
+    docs = spark.createDataFrame(
+        [
+            (0, f"opening words of document zero. {stolen}. closing words here."),
+            (1, f"entirely different preamble text! {stolen}! and another ending."),
+            (2, "no overlap with anything else at all, completely disjoint body."),
+            (3, f"opening words of document zero. {stolen}. closing words here."),  # exact dup of 0
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.shared_fps for r in winnowing_overlap_pairs(docs, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2  # partial copy detected
+    assert (0, 3) in pairs  # exact dup via pre-pass
+    assert all(2 not in p for p in pairs)  # disjoint doc pairs with nothing

@@ -147,3 +147,33 @@ def doc_fingerprint(text: Column | str) -> Column:
 def normalized_fingerprint(text: Column | str) -> Column:
     """Fingerprint robust to case/whitespace: hash of lower+space-collapsed text."""
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " "))
+
+
+def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03 "local algorithms for document fingerprinting"): hash every
+    k-char gram of the whitespace-normalized lowercase text, keep the MINIMUM
+    hash of each sliding window of `window` grams, dedupe. Two docs sharing a
+    run of ≥ k+window-1 chars are guaranteed to share a fingerprint, so shared
+    fingerprints detect PARTIAL overlap (quotes, boilerplate, plagiarism) that
+    whole-doc hashing misses, at ~2/(window+1) of the gram count.
+
+    All native expressions (sequence → substring → md5 → slice/min). The gram
+    hash is the md5 hex string (lexicographic min ≡ min over any total order),
+    chosen over xxhash64 so the DuckDB oracle can reproduce values exactly.
+    """
+    t = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
+    m = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.md5(F.substring(t, i, F.lit(k))))
+    # Sliding-window min as a fold of `window` shifted slices — NOT a
+    # transform whose lambda slices `grams` per position: lambda bodies
+    # re-evaluate captured outer expressions per ELEMENT, which would rebuild
+    # the whole gram array once per window (quadratic in doc length). HOF
+    # *arguments* evaluate once per row, so each slice costs one pass.
+    nwin = F.greatest(m - (window - 1), F.lit(1))
+    mins = F.slice(grams, 1, nwin)
+    for j in range(1, window):
+        # trailing slices may run past the array end; zip_with null-pads and
+        # least() ignores nulls, so short docs still get their single window
+        mins = F.zip_with(mins, F.slice(grams, j + 1, nwin), lambda a, b: F.least(a, b))
+    return F.array_distinct(mins)

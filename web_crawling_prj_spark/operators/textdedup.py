@@ -379,3 +379,43 @@ def simhash_candidate_pairs(
     return pairs.where(F.col("hamming") <= max_hamming).unionByName(
         intra.withColumn("hamming", F.lit(0))
     )
+
+
+# --- tier 6: winnowing fingerprint overlap (partial-copy detection) ---
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    bucket_cap: int = 256,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(id_a < id_b, shared_fps) pairs sharing ≥ min_shared winnowing
+    fingerprints — catches PARTIAL overlap (a copied paragraph inside an
+    otherwise different doc) that whole-doc and shingle-Jaccard tiers dilute.
+    Same skew defenses as the other tiers: exact-dedup pre-pass + per-
+    fingerprint bucket cap (a boilerplate fingerprint shared by N docs would
+    otherwise fan out O(N²) pairs)."""
+    from web_crawling_prj_spark.functions.text import winnowing_fingerprints
+
+    reps, intra = _exact_groups(docs, id_col, text_col)
+    fps = reps.select("id", F.explode(winnowing_fingerprints("_text", k, window)).alias("fp"))
+    fps = _cap_buckets(fps, ["fp"], bucket_cap, stats_out)
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    # exact dups share every fingerprint; count them for schema parity
+    n_fp = docs.select(
+        F.col(id_col).alias("id_a"), F.size(winnowing_fingerprints(text_col, k, window)).alias("_n")
+    )
+    intra_counted = intra.join(n_fp, "id_a").select(
+        "id_a", "id_b", F.col("_n").cast("long").alias("shared_fps")
+    )
+    return pairs.unionByName(intra_counted)
