@@ -1,0 +1,133 @@
+"""Physical-plan shape regression tests.
+
+Correctness tests prove the VALUES; these prove the PLANS stay the ones a
+100 TB deployment needs: filters and projections reach the parquet scan,
+small sides broadcast (never shuffle the big side), the frontier anti-join
+shuffles at most once per side, and the politeness rank costs exactly its
+two designed exchanges. A regression here is invisible to value tests at
+sf0.01 and a job-killer at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def n_shuffles(df) -> int:
+    """Count shuffle exchanges (simple mode keeps partitioning on the node line)."""
+    return explain_str(df, mode="simple").count("Exchange hashpartitioning")
+
+
+def test_parquet_scan_pushdown_and_pruning(spark, sf_dir):
+    """Filter pushdown + column pruning reach the documents scan."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+    )
+    plan = explain_str(d)
+    assert "PushedFilters" in plan and "LessThan(doc_id,100)" in plan, plan
+    # ReadSchema must not include the wide text column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "doc_id" in read_schema, read_schema
+
+
+def test_robots_gate_broadcasts_rules(spark, sf_dir):
+    """gate_frontier: per-host rules broadcast; the frontier side never
+    shuffles for the gate."""
+    from web_crawling_prj_spark.operators.robots import gate_frontier
+    from web_crawling_prj_spark.sources.pages_gen import robots_df
+
+    frontier = spark.range(1000).select(
+        F.format_string("https://host-%04d.example/doc/%d", F.pmod("id", F.lit(50)), "id").alias("url_canon"),
+        F.format_string("host-%04d.example", F.pmod("id", F.lit(50))).alias("host"),
+    )
+    gated = gate_frontier(frontier, robots_df(spark))
+    plan = explain_str(gated)
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_shuffles(gated) == 0, explain_str(gated, "simple")  # no shuffle at all
+
+
+def test_anti_join_is_single_shuffle_hash_join(spark):
+    """frontier ∖ seen: one exchange per side, LeftAnti, hash join (never
+    sort-merge — no sort of the 100 TB side)."""
+    from web_crawling_prj_spark.operators.dedup import anti_join_seen
+
+    frontier = spark.range(10_000).select(F.xxhash64("id").alias("url_hash"), F.col("id").alias("x"))
+    seen = spark.range(3_000).select(F.xxhash64("id").alias("url_hash"))
+    aj = anti_join_seen(frontier, seen)
+    plan = explain_str(aj)
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_shuffles(aj) <= 2, explain_str(aj, "simple")
+
+
+def test_politeness_schedule_costs_two_exchanges(spark):
+    """Two-level salted rank = exactly its two designed exchanges
+    ((host,salt) then (host)); budgets broadcast, never shuffled."""
+    from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
+
+    pending = spark.range(10_000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.format_string("h%d", F.pmod("id", F.lit(97))).alias("host"),
+        (F.col("id") % 1000 / 1000.0).alias("priority"),
+    )
+    robots = spark.range(97).select(
+        F.format_string("h%d", "id").alias("host"), F.lit(500).alias("crawl_delay_ms")
+    )
+    budgets = host_budgets(robots, 30_000, max_per_host=40)
+    sched = schedule_round(pending, budgets, n_salts=8)
+    plan = explain_str(sched)
+    assert n_shuffles(sched) == 2, explain_str(sched, "simple")
+    assert "BroadcastHashJoin" in plan, plan  # budgets join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_brute_force_topk_never_shuffles_embeddings(spark, sf_dir):
+    """Exact top-k: queries broadcast (nested-loop over the scored rows),
+    the embedding table is scanned once; the ONLY exchange is the per-query
+    rank window over scored rows."""
+    from web_crawling_prj_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = brute_force_topk(e, q, k=5)
+    plan = explain_str(bf)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert n_shuffles(bf) == 1, explain_str(bf, "simple")
+
+
+def test_scd2_rebuild_single_exchange(spark, sf_dir):
+    """All four SCD2 window columns share one (pk) exchange — the ascending
+    and descending ranks must not each repartition."""
+    from web_crawling_prj_spark.operators.scd2 import scd2_rebuild_from_history
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("created_at")
+    )
+    rb = scd2_rebuild_from_history(o, ["o_custkey"], "created_at", tiebreak_cols=["o_orderkey"])
+    assert n_shuffles(rb) == 1, explain_str(rb, "simple")
+
+
+def test_exact_dedup_is_partial_aggregable(spark, sf_dir):
+    """Tier-1 exact dedup: hash-groupBy with map-side partial aggregation
+    (two HashAggregate stages around one exchange) — the shape that scales."""
+    from web_crawling_prj_spark.operators.textdedup import dedup_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(dedup_exact(d))
+    assert "HashAggregate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
