@@ -559,6 +559,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer cells, deterministic kmeans): approximate
+    top-k for 3 query vectors (rows-only; brute force is the oracle-checked
+    gold standard; recall golden in tests)."""
+    from web_crawling_prj_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, q, k=5, n_centroids=32, n_probe=4).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal plumbing: synth blobs → mapInPandas decode → metadata agg
     (rows-only; kernels are stubbed, plumbing is real)."""
@@ -645,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardups": q_minhash_neardups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "dedup_components": q_dedup_components,
         "pagerank_hosts": q_pagerank_hosts,

@@ -78,3 +78,47 @@ def test_explode_map_keys_split(spark):
     out = explode_map_keys_split(df, "combos", sep="-")
     got = sorted(tuple(r.parts) for r in out.collect())
     assert got == [("Blue", "King"), ("Red", "Twin")]
+
+
+def test_ivf_topk_planted_recall_and_determinism(spark):
+    """IVF ANN (query `ann_ivf_topk`): on planted clusters the coarse
+    quantizer puts each query's true neighbors in its probed cells —
+    recall@1 = 1.0 vs brute force — and the hash-ordered kmeans init makes
+    the whole index deterministic (same result twice)."""
+    import numpy as np
+
+    from web_crawling_prj_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        recall_at_k,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    centers = rng.standard_normal((4, dim))
+    rows, vid = [], 0
+    for c in range(4):
+        for _ in range(8):
+            v = centers[c] + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(t) for t in v]))
+            vid += 1
+    for _ in range(300):
+        rows.append((vid, [float(t) for t in rng.standard_normal(dim)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.where(F.col("vec_id").isin(0, 8, 16, 24)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(e, q, k=5).cache()
+    ann = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4)
+    assert recall_at_k(ann, exact, 1) == 1.0
+    assert recall_at_k(ann, exact, 5) >= 0.6  # planted siblings found too
+
+    c1 = kmeans_centroids(e, n_centroids=16, iters=1)
+    c2 = kmeans_centroids(e, n_centroids=16, iters=1)
+    assert np.allclose(c1, c2)
+    r1 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect())
+    r2 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect())
+    assert r1 == r2
