@@ -112,3 +112,77 @@ if HAVE_HYPOTHESIS:
         n_raw = len([p for p in urlsplit(url).query.split("&") if p])
         n_canon = len([p for p in urlsplit(c).query.split("&") if p])
         assert n_raw == n_canon  # sorting, never dropping
+
+
+def test_token_bucket_ttl_timeout_branch():
+    """TTL state expiry: on hasTimedOut the bucket is removed and nothing is
+    emitted; on normal batches the timeout is re-armed (unit-level, with a
+    fake GroupState — processing-time expiry itself is wall-clock)."""
+    import pandas as pd
+
+    from web_crawling_prj_spark.streaming.stateful import make_token_bucket_fn
+
+    class FakeState:
+        def __init__(self, exists=False, value=None, timed_out=False):
+            self._exists, self._value, self.hasTimedOut = exists, value, timed_out
+            self.removed, self.timeout_set = False, None
+
+        @property
+        def exists(self):
+            return self._exists
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._exists, self._value = True, v
+
+        def remove(self):
+            self.removed, self._exists = True, False
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_token_bucket_fn(rate_per_s=2.0, burst=4.0, idle_ttl_ms=60_000)
+
+    # timed-out idle host: state removed, zero rows
+    st = FakeState(exists=True, value=(3.0, 100), timed_out=True)
+    out = list(fn(("h",), iter([]), st))
+    assert st.removed and sum(len(p) for p in out) == 0
+
+    # normal batch: rows emitted, state updated, TTL re-armed
+    st2 = FakeState()
+    batch = pd.DataFrame(
+        {"url_canon": ["u1", "u2"], "url_hash": [1, 2], "event_epoch": [10, 10]}
+    )
+    out2 = pd.concat(list(fn(("h",), iter([batch]), st2)))
+    assert len(out2) == 2 and out2["admitted"].all()
+    assert st2.exists and st2.timeout_set == 60_000
+
+
+def test_token_bucket_stream_with_ttl_enabled(spark, tmp_path):
+    """Integration smoke: the ProcessingTimeTimeout-configured stream runs and
+    admits exactly what the NoTimeout one does on the same single batch."""
+    from web_crawling_prj_spark.streaming.stateful import politeness_gate_stream
+
+    rows = [("h1.example", f"https://h1.example/{i}", i, 1000 + i) for i in range(6)]
+    src = spark.createDataFrame(
+        rows, "host string, url_canon string, url_hash long, discovered_ts long"
+    )
+    path = str(tmp_path / "ttl_src")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    gated = politeness_gate_stream(stream, rate_per_s=2.0, burst=3.0, idle_ttl_ms=120_000)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("ttl_gate")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ttl_gate").collect()
+    assert len(got) == 6
+    # burst 3 + refills: first 3 admitted immediately; each +1 epoch refills 2
+    assert sum(1 for r in got if r.admitted) >= 3

@@ -44,13 +44,23 @@ STATE_SCHEMA = StructType(
 )
 
 
-def make_token_bucket_fn(rate_per_s: float = 2.0, burst: float = 10.0):
-    """Build the stateful group function (rate = reference default 2 rps)."""
+def make_token_bucket_fn(rate_per_s: float = 2.0, burst: float = 10.0, idle_ttl_ms: int = 0):
+    """Build the stateful group function (rate = reference default 2 rps).
+
+    ``idle_ttl_ms`` > 0 bounds total state: a host that receives no URLs for
+    the TTL has its bucket REMOVED on processing-time timeout (it restarts
+    with a fresh burst when it reappears — strictly more permissive, never a
+    politeness violation). At web scale the key space is millions of hosts;
+    without expiry the state store only ever grows."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         host = key[0]
+        if idle_ttl_ms and state.hasTimedOut:
+            state.remove()  # idle host: drop the bucket, nothing to emit
+            yield pd.DataFrame([], columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
         if state.exists:
             tokens, last_epoch = state.get
         else:
@@ -69,14 +79,19 @@ def make_token_bucket_fn(rate_per_s: float = 2.0, burst: float = 10.0):
                     (host, row["url_canon"], int(row["url_hash"]), epoch, admitted, tokens)
                 )
         state.update((float(tokens), int(last_epoch)))
+        if idle_ttl_ms:
+            state.setTimeoutDuration(idle_ttl_ms)  # re-armed every batch seen
         yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return fn
 
 
-def politeness_gate_stream(discoveries, rate_per_s: float = 2.0, burst: float = 10.0):
+def politeness_gate_stream(
+    discoveries, rate_per_s: float = 2.0, burst: float = 10.0, idle_ttl_ms: int = 0
+):
     """discoveries (streaming DF with host/url_canon/url_hash/discovered_ts) →
-    admitted/deferred rows via per-host token-bucket state."""
+    admitted/deferred rows via per-host token-bucket state. ``idle_ttl_ms``
+    enables processing-time state expiry for idle hosts (bounded state)."""
     from pyspark.sql import functions as F
 
     keyed = discoveries.select(
@@ -86,9 +101,11 @@ def politeness_gate_stream(discoveries, rate_per_s: float = 2.0, burst: float = 
         F.col("discovered_ts").cast("long").alias("event_epoch"),
     )
     return keyed.groupBy("host").applyInPandasWithState(
-        make_token_bucket_fn(rate_per_s, burst),
+        make_token_bucket_fn(rate_per_s, burst, idle_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if idle_ttl_ms else GroupStateTimeout.NoTimeout
+        ),
     )
