@@ -183,9 +183,10 @@ def embedding_near_dup_pairs(
     dedup family. Skew defenses mirror the text tiers (operators.textdedup):
     byte-identical vectors collapse to a min-id representative pre-LSH and
     pair with it directly (cos 1.0, O(group) rows); the within-bucket join is
-    capped at ``bucket_cap`` representatives per bucket (overflow counted in
-    ``stats_out``, logged) so one hot bucket can never go O(N²)."""
-    import logging
+    capped at ``bucket_cap`` representatives per bucket (shared helper
+    textdedup._cap_buckets: observed-metric + optional eager stats) so one
+    hot bucket can never go O(N²)."""
+    from web_crawling_prj_spark.operators.textdedup import _cap_buckets
 
     v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     grp = v.groupBy("v").agg(F.min("id").alias("_rep"))
@@ -196,19 +197,7 @@ def embedding_near_dup_pairs(
     reps = j.where(F.col("id") == F.col("_rep")).select("id", "v")
 
     sig = hyperplane_signature_udf(dim, n_planes)
-    b = reps.withColumn("bucket", sig(F.col("v")))
-    w = Window.partitionBy("bucket").orderBy(F.asc("id"))
-    ranked = b.withColumn("_bn", F.row_number().over(w))
-    if stats_out is not None:
-        dropped = ranked.where(F.col("_bn") > bucket_cap)
-        stats_out["dropped_bucket_rows"] = dropped.count()
-        if stats_out["dropped_bucket_rows"]:
-            logging.getLogger(__name__).warning(
-                "embedding LSH bucket cap %d truncated %d rows",
-                bucket_cap,
-                stats_out["dropped_bucket_rows"],
-            )
-    b = ranked.where(F.col("_bn") <= bucket_cap).drop("_bn")
+    b = _cap_buckets(reps.withColumn("bucket", sig(F.col("v"))), ["bucket"], bucket_cap, stats_out)
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(
         y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
@@ -256,8 +245,11 @@ def kmeans_centroids(
     """Deterministic spherical-kmeans centroids: init = the `n_centroids`
     vectors with smallest xxhash64(seed, id) (a hash-ordered sample —
     partitioning-independent), then `iters` distributed Lloyd passes (assign
-    via one matmul UDF, recompute means via posexplode + avg — native agg,
-    O(N·dim) shuffle bytes). Empty clusters keep their previous centroid."""
+    via one matmul UDF, recompute means via posexplode + exact DECIMAL sums —
+    float sums are partial-order-dependent and would make centroids, and thus
+    cell assignments, differ across parallelism levels; decimal sums are
+    exact, so the index is bit-identical at local[8] and local[32]). Empty
+    clusters keep their previous centroid."""
     init = (
         embeddings.select(vec_col, F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"))
         .orderBy("_h", vec_col)
@@ -271,7 +263,11 @@ def kmeans_centroids(
             embeddings.withColumn("_cid", F.element_at(assign(F.col(vec_col)), 1))
             .select("_cid", F.posexplode(vec_col).alias("_p", "_v"))
             .groupBy("_cid", "_p")
-            .agg(F.avg("_v").alias("_m"))
+            .agg(
+                (
+                    F.sum(F.col("_v").cast("decimal(28,14)")) / F.count("*")
+                ).cast("double").alias("_m")
+            )
             .collect()
         )
         new = cents.copy()

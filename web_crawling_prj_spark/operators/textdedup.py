@@ -46,8 +46,11 @@ logger = logging.getLogger(__name__)
 #    representative BEFORE signatures; members pair with their representative
 #    directly (O(group) rows, similarity exactly 1), so the clique never forms;
 # 2. deterministic BUCKET CAP: at most `bucket_cap` representatives (smallest
-#    ids) join within any (band, hash) bucket; the overflow row count is
-#    reported via ``stats_out`` / logged, never silently dropped.
+#    ids) join within any (band, hash) bucket. The overflow is observable two
+#    ways: every capped plan carries an ``observe()`` metric
+#    (lsh_cap_dropped_*) that monitoring reads off the executed query for
+#    free, and callers that want eager numbers pass ``stats_out`` (one extra
+#    aggregation job, logged when nonzero).
 # Pairs are a dedup-sufficient sparse certificate (every duplicate doc gets ≥1
 # partner of smaller id), NOT the full O(g²) clique.
 
@@ -70,26 +73,41 @@ def _exact_groups(docs: DataFrame, id_col: str, text_col: str):
     return reps, intra
 
 
+_CAP_METRIC_SEQ = [0]  # observe() names must be unique per query
+
+
 def _cap_buckets(
     banded: DataFrame, bucket_keys: list[str], bucket_cap: int, stats_out: dict | None
 ) -> DataFrame:
-    """Keep the `bucket_cap` smallest ids per bucket; count what was cut."""
+    """Keep the `bucket_cap` smallest ids per bucket.
+
+    The cut is never invisible: the returned plan carries an observed metric
+    (read it from QueryExecution's observedMetrics / a listener at no cost),
+    and ``stats_out`` (optional) computes eager counts with ONE extra
+    aggregation job — never by re-running the signature pipeline per stat."""
     w = Window.partitionBy(*bucket_keys).orderBy(F.asc("id"))
     ranked = banded.withColumn("_bn", F.row_number().over(w))
     if stats_out is not None:
-        dropped = ranked.where(F.col("_bn") > bucket_cap)
-        stats_out["dropped_bucket_rows"] = dropped.count()
-        stats_out["overflowed_buckets"] = (
-            dropped.select(*bucket_keys).distinct().count()
-        )
-        if stats_out["dropped_bucket_rows"]:
+        row = ranked.where(F.col("_bn") > bucket_cap).agg(
+            F.count("*").alias("d"),
+            F.count_distinct(*[F.col(k) for k in bucket_keys]).alias("b"),
+        ).first()
+        stats_out["dropped_bucket_rows"] = row["d"]
+        stats_out["overflowed_buckets"] = row["b"]
+        if row["d"]:
             logger.warning(
                 "LSH bucket cap %d truncated %d rows across %d hot buckets",
                 bucket_cap,
-                stats_out["dropped_bucket_rows"],
-                stats_out["overflowed_buckets"],
+                row["d"],
+                row["b"],
             )
-    return ranked.where(F.col("_bn") <= bucket_cap).drop("_bn")
+    # free observability on the main job: CollectMetrics sees every ranked row
+    _CAP_METRIC_SEQ[0] += 1
+    observed = ranked.observe(
+        f"lsh_cap_dropped_{_CAP_METRIC_SEQ[0]}",
+        F.sum((F.col("_bn") > bucket_cap).cast("long")).alias("dropped_rows"),
+    )
+    return observed.where(F.col("_bn") <= bucket_cap).drop("_bn")
 
 
 # --- tier 1/2: exact ---
@@ -334,9 +352,10 @@ def simhash64_col(text_col: Column | str) -> Column:
     flat columns; only the hash/bit-vote numpy kernel crosses into Python."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.regexp_extract_all(F.lower(t), F.lit(_SIMHASH_TOKEN_RE), 0)
-    return simhash_from_joined_udf(
-        F.concat_ws("\n", toks), F.coalesce(F.size(toks), F.lit(0))
-    )
+    # greatest(…, 0): size(NULL) is NULL under ANSI (Spark 4) but -1 under
+    # legacy sizeOfNull — normalize to 0 regardless of config
+    n = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
+    return simhash_from_joined_udf(F.concat_ws("\n", toks), n)
 
 
 def simhash_candidate_pairs(
@@ -402,8 +421,10 @@ def winnowing_overlap_pairs(
     from web_crawling_prj_spark.functions.text import winnowing_fingerprints
 
     reps, intra = _exact_groups(docs, id_col, text_col)
-    fps = reps.select("id", F.explode(winnowing_fingerprints("_text", k, window)).alias("fp"))
-    fps = _cap_buckets(fps, ["fp"], bucket_cap, stats_out)
+    rep_fps = reps.select("id", winnowing_fingerprints("_text", k, window).alias("fps"))
+    fps = _cap_buckets(
+        rep_fps.select("id", F.explode("fps").alias("fp")), ["fp"], bucket_cap, stats_out
+    )
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -411,10 +432,10 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
-    # exact dups share every fingerprint; count them for schema parity
-    n_fp = docs.select(
-        F.col(id_col).alias("id_a"), F.size(winnowing_fingerprints(text_col, k, window)).alias("_n")
-    )
+    # exact dups share every fingerprint; the representative's count (texts
+    # are identical) serves all members — fingerprints never recompute over
+    # the full docs table
+    n_fp = rep_fps.select(F.col("id").alias("id_a"), F.size("fps").alias("_n"))
     intra_counted = intra.join(n_fp, "id_a").select(
         "id_a", "id_b", F.col("_n").cast("long").alias("shared_fps")
     )

@@ -137,7 +137,33 @@ def run_round(
     round_id: int,
     cfg: CrawlConfig,
 ) -> dict:
-    """Execute one crawl round and commit its state atomically."""
+    """Execute one crawl round and commit its state atomically.
+
+    All round-scoped resources (persisted DataFrames, the bloom broadcast)
+    are released in one finally block — any exit path, including the
+    failure-threshold abort or an unexpected error, must not leak caches or
+    executor bitmap copies into the next round."""
+    persisted: list[DataFrame] = []
+    bcasts: list = []
+    try:
+        return _run_round(spark, store, pages, robots, round_id, cfg, persisted, bcasts)
+    finally:
+        for df in persisted:
+            df.unpersist()
+        for b in bcasts:
+            b.destroy()
+
+
+def _run_round(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    cfg: CrawlConfig,
+    persisted: list,
+    bcasts: list,
+) -> dict:
     round_ts = cfg.round_ts(round_id)
     frontier = store.read_round(spark, "frontier", round_id - 1)
     seen = store.read_all(spark, "seen_delta", up_to=round_id - 1)
@@ -166,8 +192,8 @@ def run_round(
     # store (puffin-style sidecar) and each round ORs in a delta built from its
     # own (small) seen_delta — the full seen-set is never rescanned.
     bloom = None
-    bloom_bcast = None  # round-owned broadcast, destroyed before return — a
-    # thousand-round crawl must not accumulate P×m-byte bitmaps on executors
+    bloom_bcast = None  # round-owned broadcast (destroyed in run_round's
+    # finally) — a thousand-round crawl must not accumulate bitmaps on executors
     if seen is not None:
         if cfg.use_bloom:
             raw = store.load_bloom(round_id - 1)
@@ -181,6 +207,7 @@ def run_round(
                     fpp=cfg.bloom_fpp,
                 )
             bloom_bcast = broadcast_bloom(spark, bloom)
+            bcasts.append(bloom_bcast)
         pending = anti_join_seen(eligible, seen, bloom=bloom, bloom_bcast=bloom_bcast)
     else:
         pending = eligible
@@ -189,6 +216,7 @@ def run_round(
     # HERE (not after the circuit split) so the quarantined branch does not
     # re-run the bloom probe + seen anti-join at commit time.
     gated = gate_frontier(pending, robots).persist()
+    persisted.append(gated)
     allowed = gated
 
     # 4) circuit breaker (reference C12): hosts with open circuits sit out this
@@ -237,6 +265,7 @@ def run_round(
     scheduled = schedule_round(
         allowed, budgets, n_salts=cfg.n_salts, default_budget=cfg.default_budget
     ).persist()
+    persisted.append(scheduled)
     # frontier rows that lost the budget race stay pending for the next round
     leftover = allowed.join(scheduled.select("url_hash"), "url_hash", "left_anti").select(
         *FRONTIER_COLS
@@ -250,6 +279,7 @@ def run_round(
         scheduled, pages, round_id, round_ts, failure_per_mille=cfg.failure_per_mille
     )
     fetch_log = classify_fetch_log(fetch_log).persist()
+    persisted.append(fetch_log)
 
     # 7) retries re-enter the frontier with backoff; exhausted rows tombstone
     retries = (
@@ -349,23 +379,14 @@ def run_round(
         for r in committed_metrics.collect()
     }
     # batch/run failure threshold (reference C4/C5): abort AFTER committing so
-    # a resumed run (mode='failed' analog) starts from consistent state
+    # a resumed run (mode='failed' analog) starts from consistent state;
+    # run_round's finally releases the caches/broadcast on this path too
     if cfg.extra.get("abort_on_failed_run"):
         report = store.read_round(spark, "run_report", round_id).first()
         if report and report["run_failed"]:
-            fetch_log.unpersist()
-            gated.unpersist()
-            scheduled.unpersist()
-            if bloom_bcast is not None:
-                bloom_bcast.destroy()
             raise RuntimeError(
                 f"round {round_id} failed: {report['failed']}/{report['scheduled']} fetches failed"
             )
-    fetch_log.unpersist()
-    gated.unpersist()
-    scheduled.unpersist()
-    if bloom_bcast is not None:
-        bloom_bcast.destroy()  # all consumers committed; release executor copies
     totals = [sum(v[i] for v in summary.values()) for i in range(3)]
     return {
         "round_id": round_id,

@@ -170,8 +170,10 @@ class StateStore:
         return upto
 
     def vacuum_compacted(self, table: str) -> int:
-        """Delete per-round dirs already folded into the base. Irreversible for
-        read_round on those rounds; read_all is unaffected."""
+        """Delete per-round dirs already folded into the base. Irreversible
+        for per-round history: read_round on a folded round and
+        read_all(up_to < base) raise afterwards (read_all at or past the base
+        is unaffected — the base carries every folded row)."""
         upto = self.base_upto(table)
         if upto is None:
             return 0
@@ -214,6 +216,19 @@ class StateStore:
         if base is not None and (up_to is None or base <= up_to):
             base_df = spark.read.parquet(self._base_dir(table, base))
             floor = base
+        elif base is not None:
+            # historical read below the base: only valid while the folded
+            # per-round dirs still exist (i.e. before vacuum_compacted)
+            missing = [
+                r
+                for r in rounds
+                if r <= base and not os.path.exists(self._table_round_dir(table, r))
+            ]
+            if missing:
+                raise ValueError(
+                    f"{table}: rounds {missing} were compacted into base upto={base} "
+                    f"and vacuumed; read_all(up_to={up_to}) cannot reconstruct history"
+                )
         paths = [
             self._table_round_dir(table, r)
             for r in rounds
