@@ -131,3 +131,25 @@ def test_exact_dedup_is_partial_aggregable(spark, sf_dir):
     plan = explain_str(dedup_exact(d))
     assert "HashAggregate" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_seen_set_anti_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB steady-state layout: frontier and seen-set stored BUCKETED
+    on url_hash → the per-round anti-join needs ZERO exchanges (each task
+    reads its own bucket from both sides). This is the layout StateStore
+    models with pmod-bucket repartitioning and an Iceberg/bucketed table
+    provides for real."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fr = spark.range(10_000).select(F.xxhash64("id").alias("url_hash"), F.col("id").alias("x"))
+        seen = spark.range(3_000).select(F.xxhash64("id").alias("url_hash"))
+        fr.write.mode("overwrite").bucketBy(8, "url_hash").saveAsTable("plan_fr_bkt")
+        seen.write.mode("overwrite").bucketBy(8, "url_hash").saveAsTable("plan_seen_bkt")
+        aj = spark.table("plan_fr_bkt").join(spark.table("plan_seen_bkt"), "url_hash", "left_anti")
+        assert n_shuffles(aj) == 0, explain_str(aj, "simple")
+        assert aj.count() == 7_000  # and it is still the right answer
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS plan_fr_bkt")
+        spark.sql("DROP TABLE IF EXISTS plan_seen_bkt")
