@@ -227,3 +227,29 @@ def test_dict_union_join(spark):
         (1, "d2"): ("APR", None),  # detail wins even when null (dict-union)
         (2, "d3"): ("MAY", 30.0),
     }
+
+
+def test_col_index_to_name_parity():
+    """F20 parity with sharepoint_manager.py:790-798 (1→A … 27→AA … 703→AAA)."""
+    from web_crawling_prj_spark.functions.extract import col_index_to_name, parse_cell_address
+
+    assert [col_index_to_name(i) for i in (1, 26, 27, 52, 53, 702, 703)] == [
+        "A", "Z", "AA", "AZ", "BA", "ZZ", "AAA",
+    ]
+    assert parse_cell_address("C100") == (100, 3)
+    assert parse_cell_address("AA2") == (2, 27)
+
+
+def test_chunked_range_updates(spark):
+    """S15: 7 ordered rows, chunk 3, 3 columns, sheet start A2 → ranges
+    A2:C4 / A5:C7 / A8:C8 with ordered string payloads."""
+    from web_crawling_prj_spark.sources.sinks import chunked_range_updates
+
+    df = spark.createDataFrame(
+        [(i, f"sku-{i}", i * 1.5) for i in range(7)], "id int, sku string, price double"
+    )
+    out = {r.chunk_id: r for r in chunked_range_updates(df, ["id"], chunk_size=3).collect()}
+    assert [out[i].range_address for i in (0, 1, 2)] == ["A2:C4", "A5:C7", "A8:C8"]
+    assert [out[i].n_rows for i in (0, 1, 2)] == [3, 3, 1]
+    assert out[0].payload[0] == ["0", "sku-0", "0.0"]
+    assert out[2].payload == [["6", "sku-6", "9.0"]]

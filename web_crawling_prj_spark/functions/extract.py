@@ -97,3 +97,30 @@ def paginate(df: DataFrame, total_pages_col: str, page_col: str = "page") -> Dat
         F.array().cast("array<int>")
     )
     return df.withColumn(page_col, F.explode(pages))
+
+
+def col_index_to_name(index: int) -> str:
+    """F20: 1-based spreadsheet column index → A1 letters (1→A, 26→Z, 27→AA;
+    parity with sharepoint_manager.py:790-798)."""
+    if index < 1:
+        raise ValueError("column index is 1-based")
+    out = []
+    while index > 0:
+        index, rem = divmod(index - 1, 26)
+        out.append(chr(ord("A") + rem))
+    return "".join(reversed(out))
+
+
+def parse_cell_address(cell: str) -> tuple[int, int]:
+    """A1-style cell → (row, 1-based col index); parity with the reference's
+    _parse_cell (sharepoint_manager.py:833-843)."""
+    import re
+
+    m = re.match(r"^([A-Z]+)([0-9]+)$", cell)
+    if not m:
+        raise ValueError(f"invalid cell address: {cell}")
+    letters, row = m.groups()
+    col = 0
+    for ch in letters:
+        col = col * 26 + (ord(ch) - ord("A") + 1)
+    return int(row), col

@@ -97,3 +97,47 @@ def unzip_csv_rows(df: DataFrame, blob_col: str = "zip_blob", csv_opts: dict | N
     csv_schema = ", ".join(f"`{c}` string" for c in cols)
     schema = ", ".join(x for x in [csv_schema, key_schema] if x)
     return df.mapInPandas(fn, schema=schema)
+
+
+def chunked_range_updates(
+    df: DataFrame, order_cols: list[str], chunk_size: int, start_row: int = 2
+) -> DataFrame:
+    """S15: chunked spreadsheet range-update plan (reference update_cell with
+    chunk_size, sharepoint_manager.py:800-890): split a deterministically
+    ordered export into A1-style row-range chunks of ≤ chunk_size rows.
+
+    Returns one row per chunk: (chunk_id, range_address, n_rows, payload)
+    where payload is the array of string-cast row arrays the reference PATCHes
+    to that range — callers hand each chunk to their sheet/HTTP writer.
+    Exports are sheet-sized by definition, so the global-order window's single
+    partition is fine (the reference serializes the same rows over HTTP).
+    """
+    from pyspark.sql import Window
+
+    from web_crawling_prj_spark.functions.extract import col_index_to_name
+
+    last_col = col_index_to_name(len(df.columns))
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    cells = F.array(*[F.col(c).cast("string") for c in df.columns])
+    rows = df.select(
+        ((F.row_number().over(w) - 1)).alias("_rn"), cells.alias("_cells")
+    ).withColumn("chunk_id", F.floor(F.col("_rn") / chunk_size).cast("int"))
+    chunks = rows.groupBy("chunk_id").agg(
+        F.count("*").alias("n_rows"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_rn"), F.col("_cells")))),
+            lambda s: s["_cells"],
+        ).alias("payload"),
+    )
+    first_row = F.lit(start_row) + F.col("chunk_id").cast("long") * chunk_size
+    return chunks.select(
+        "chunk_id",
+        F.concat(
+            F.lit("A"),
+            first_row.cast("string"),
+            F.lit(f":{last_col}"),
+            (first_row + F.col("n_rows") - 1).cast("string"),
+        ).alias("range_address"),
+        "n_rows",
+        "payload",
+    )
