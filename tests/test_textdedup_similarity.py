@@ -271,3 +271,29 @@ def test_winnowing_locality_guarantee(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2  # partial copy detected
     assert (0, 3) in pairs  # exact dup via pre-pass
     assert all(2 not in p for p in pairs)  # disjoint doc pairs with nothing
+
+
+def test_simhash_carry_safe_subsegments_and_property(spark):
+    """The packed-lane vote path splits rows with >255 tokens into carry-safe
+    subsegments — pin that path with 300- and 600-token docs, plus
+    hypothesis-style random corpora (unicode, repeated tokens, punctuation)
+    against the scalar reference."""
+    import random
+
+    from web_crawling_prj_spark.operators.textdedup import simhash64_col
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "x9", "Ω", "tokentokentoken", "a", "7", "naïve", "mixedCASE"]
+    rows = [
+        (0, " ".join(rng.choice(vocab) for _ in range(300))),  # >255 tokens: 2 subsegments
+        (1, " ".join(rng.choice(vocab) for _ in range(600))),  # 3 subsegments
+        (2, " ".join(rng.choice(vocab) for _ in range(255))),  # boundary: exactly max_seg
+        (3, " ".join(rng.choice(vocab) for _ in range(256))),  # boundary: max_seg + 1
+    ] + [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))) + rng.choice(["", " !!!", " ...", " 42"]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select("doc_id", "text", simhash64_col("text").alias("sh")).collect()
+    for r in got:
+        assert r.sh == _simhash64_reference(r.text), f"doc {r.doc_id}"
