@@ -77,11 +77,20 @@ class StateStore:
         """
         if os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} already committed")
-        for name, df in tables.items():
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             path = self._table_round_dir(name, round_id)
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a killed run
             df.write.mode("overwrite").parquet(path)
+
+        # independent output dirs → write concurrently (the scheduler overlaps
+        # the jobs); the manifest rename below stays the single commit point,
+        # so atomicity/resume semantics are unchanged
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(tables)))) as ex:
+            list(ex.map(_write, tables.items()))
         meta = {"round_id": round_id, "tables": sorted(tables), **(extra_meta or {})}
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".tmp")
         with os.fdopen(fd, "w") as f:
