@@ -413,6 +413,16 @@ def q_winnowing_fps(spark, sf_dir):
     return d.select("doc_id", F.explode(T.winnowing_fingerprints("text")).alias("fp"))
 
 
+def q_winnowing_overlap(spark, sf_dir):
+    """Partial-copy detection: pairs sharing ≥8 winnowing fingerprints (the
+    full tier: exact-dup pre-pass, per-fingerprint bucket cap, shared-count
+    join) — value-exact against the DuckDB twin."""
+    from web_crawling_prj_spark.operators.textdedup import winnowing_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(d, min_shared=8)
+
+
 def q_exact_dup_flags(spark, sf_dir):
     """Dedup tier 1: exact-duplicate flag per doc via md5(text) fingerprint."""
     d = _t(spark, sf_dir, "documents")
@@ -650,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "docs_by_lang": q_docs_by_lang,
         "winnowing_fps": q_winnowing_fps,
+        "winnowing_overlap": q_winnowing_overlap,
         "exact_dup_flags": q_exact_dup_flags,
         "embedding_topk": q_embedding_topk,
         "asof_purchase_before_error": q_asof_purchase_before_error,
@@ -915,6 +926,24 @@ g AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
 w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
                                    j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g)
 SELECT doc_id, unnest(fps) AS fp FROM w
+""",
+        "winnowing_overlap": r"""
+WITH rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+docs_rep AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
+n AS (SELECT rep_id AS id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM rep),
+g AS (SELECT id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                i -> md5(substr(t, CAST(i AS INT), 8))) AS grams FROM n),
+w AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                               j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g),
+fp AS (SELECT id, unnest(fps) AS fp FROM w),
+capped AS (SELECT id, fp FROM (SELECT id, fp, row_number() OVER (PARTITION BY fp ORDER BY id) AS bn FROM fp) WHERE bn <= 256),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+          FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY a.id, b.id HAVING count(*) >= 8),
+nfp AS (SELECT id AS rep_id, CAST(len(fps) AS BIGINT) AS n FROM w),
+intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b, nfp.n AS shared_fps
+          FROM docs_rep dr JOIN nfp USING (rep_id) WHERE dr.doc_id != dr.rep_id)
+SELECT * FROM pairs UNION ALL SELECT * FROM intra
 """,
         "exact_dup_flags": """
 WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
