@@ -297,3 +297,51 @@ def test_simhash_carry_safe_subsegments_and_property(spark):
     got = df.select("doc_id", "text", simhash64_col("text").alias("sh")).collect()
     for r in got:
         assert r.sh == _simhash64_reference(r.text), f"doc {r.doc_id}"
+
+
+def test_cap_buckets_two_level_equals_naive_and_spreads_hot_bucket(spark):
+    """The salted pre-rank must (a) return EXACTLY the single-window result and
+    (b) put the salted (bucket, salt) window before the exact window in the
+    plan, so a flood bucket is sorted across n_salts tasks, never one."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_crawling_prj_spark.operators.textdedup import _cap_buckets
+
+    # skewed: one 20k-row hot bucket + 50 cold buckets; ids deliberately
+    # interleaved so per-salt winners differ from a naive head()
+    rows = [(i * 7 % 20011, 0, 7) for i in range(20_000)] + [
+        (i, 1, 100 + i % 50) for i in range(500)
+    ]
+    banded = spark.createDataFrame(rows, "id long, band_id int, band_hash long")
+    cap = 64
+    got = _cap_buckets(banded, ["band_id", "band_hash"], cap, None, n_salts=8)
+    w = Window.partitionBy("band_id", "band_hash").orderBy(F.asc("id"))
+    naive = (
+        banded.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= cap).drop("_bn")
+    )
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Window") == 2, plan  # salted pre-rank + exact rank
+    assert "pmod(xxhash64(id" in plan, plan  # level 1 partitions by (keys, salt)
+
+
+def test_run_summary_zero_scheduled_is_idle_not_failed(spark):
+    """ADVICE r2: scheduled == 0 must not divide by zero or flag failure."""
+    from web_crawling_prj_spark.plans.reports import run_summary
+
+    m = spark.createDataFrame(
+        [(1, 0, 0, 0, 0, 0), (2, 0, 10, 7, 3, 1)],
+        "round_id int, bucket int, scheduled_cnt long, fetched_ok_cnt long, "
+        "failed_cnt long, retried_cnt long",
+    )
+    out = {r.round_id: r for r in run_summary(m).collect()}
+    assert out[1].success_rate_pct == 100.0 and out[1].run_failed is False
+    assert out[2].success_rate_pct == 70.0 and out[2].run_failed is False

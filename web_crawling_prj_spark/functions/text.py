@@ -161,19 +161,31 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
     All native expressions (sequence → substring → md5 → slice/min). The gram
     hash is the md5 hex string (lexicographic min ≡ min over any total order),
     chosen over xxhash64 so the DuckDB oracle can reproduce values exactly.
+
+    HOF cost model, engineered around twice: lambda BODIES re-evaluate any
+    captured outer expression once per ELEMENT, while HOF arguments and lambda
+    variables evaluate once per row. So (a) the normalized text is bound as a
+    lambda variable (via a 1-element array transform) before the per-gram
+    substring lambda touches it — capturing the regexp_replace expression
+    directly would re-normalize the whole doc once per gram, O(len²)/doc; and
+    (b) the window-min is a fold of `window` shifted slices of a bound `grams`
+    variable, never a per-position lambda slicing a captured gram array.
     """
-    t = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
-    m = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.md5(F.substring(t, i, F.lit(k))))
-    # Sliding-window min as a fold of `window` shifted slices — NOT a
-    # transform whose lambda slices `grams` per position: lambda bodies
-    # re-evaluate captured outer expressions per ELEMENT, which would rebuild
-    # the whole gram array once per window (quadratic in doc length). HOF
-    # *arguments* evaluate once per row, so each slice costs one pass.
-    nwin = F.greatest(m - (window - 1), F.lit(1))
-    mins = F.slice(grams, 1, nwin)
-    for j in range(1, window):
-        # trailing slices may run past the array end; zip_with null-pads and
-        # least() ignores nulls, so short docs still get their single window
-        mins = F.zip_with(mins, F.slice(grams, j + 1, nwin), lambda a, b: F.least(a, b))
-    return F.array_distinct(mins)
+
+    def _mins(grams: Column, m: Column) -> Column:
+        nwin = F.greatest(m - (window - 1), F.lit(1))
+        mins = F.slice(grams, 1, nwin)
+        for j in range(1, window):
+            # trailing slices may run past the array end; zip_with null-pads and
+            # least() ignores nulls, so short docs still get their single window
+            mins = F.zip_with(mins, F.slice(grams, j + 1, nwin), lambda a, b: F.least(a, b))
+        return F.array_distinct(mins)
+
+    def _fps(t: Column) -> Column:
+        m = F.greatest(F.length(t) - (k - 1), F.lit(1))
+        grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.md5(F.substring(t, i, F.lit(k))))
+        # bind the gram array too: it feeds window+1 slice arguments
+        return F.element_at(F.transform(F.array(grams), lambda g: _mins(g, m)), 1)
+
+    norm = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
+    return F.element_at(F.transform(F.array(norm), _fps), 1)

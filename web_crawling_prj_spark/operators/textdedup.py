@@ -61,8 +61,12 @@ def _exact_groups(docs: DataFrame, id_col: str, text_col: str):
     representatives: one (id, text) row per distinct text (min id wins);
     intra_pairs: (id_a=rep, id_b=member) for every non-representative member.
     """
+    # 128-bit md5, NOT xxhash64: at billions of docs a 64-bit birthday collision
+    # (~50% at 5·10⁹) would silently merge two different documents as "exact"
+    # duplicates and drop one from all LSH comparison; 128 bits pushes the
+    # collision horizon past any corpus size. Same choice as exact_dup_flags.
     fp = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text"), doc_fingerprint(text_col).alias("_fp")
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text"), F.md5(F.col(text_col)).alias("_fp")
     )
     grp = fp.groupBy("_fp").agg(F.min("id").alias("_rep"))
     j = fp.join(grp, "_fp")
@@ -77,21 +81,40 @@ _CAP_METRIC_SEQ = [0]  # observe() names must be unique per query
 
 
 def _cap_buckets(
-    banded: DataFrame, bucket_keys: list[str], bucket_cap: int, stats_out: dict | None
+    banded: DataFrame,
+    bucket_keys: list[str],
+    bucket_cap: int,
+    stats_out: dict | None,
+    n_salts: int = 16,
 ) -> DataFrame:
-    """Keep the `bucket_cap` smallest ids per bucket.
+    """Keep the `bucket_cap` smallest ids per bucket — two-level salted rank.
 
-    The cut is never invisible: the returned plan carries an observed metric
-    (read it from QueryExecution's observedMetrics / a listener at no cost),
-    and ``stats_out`` (optional) computes eager counts with ONE extra
-    aggregation job — never by re-running the signature pipeline per stat."""
-    w = Window.partitionBy(*bucket_keys).orderBy(F.asc("id"))
-    ranked = banded.withColumn("_bn", F.row_number().over(w))
+    A naive ``row_number() over (partition by bucket)`` would sort a flood
+    bucket (10⁸ boilerplate docs sharing one band hash) in a SINGLE task — the
+    cap would bound the join but the rank itself becomes the straggler. Same
+    fix as the politeness scheduler (operators.politeness W4): level 1 ranks
+    within (bucket, salt) and keeps ≤ cap per salt — a flood bucket spreads
+    over n_salts tasks, each sorting ~1/n_salts of it; level 2 ranks exactly
+    over ≤ n_salts·cap survivors per bucket. The global smallest-`cap` set per
+    bucket is provably a subset of the union of per-salt smallest-`cap` sets,
+    so the result is EXACTLY the single-window ranking.
+
+    The cut is never invisible: the plan carries observed metrics — read
+    ``lsh_cap_dropped_l1_*`` + ``lsh_cap_dropped_*`` (their SUM is the total
+    rows cut) from QueryExecution's observedMetrics / a listener at no cost —
+    and ``stats_out`` (optional) computes exact eager counts with ONE extra
+    aggregation over the input (never by re-running the signature pipeline)."""
     if stats_out is not None:
-        row = ranked.where(F.col("_bn") > bucket_cap).agg(
-            F.count("*").alias("d"),
-            F.count_distinct(*[F.col(k) for k in bucket_keys]).alias("b"),
-        ).first()
+        row = (
+            banded.groupBy(*bucket_keys)
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .agg(
+                F.coalesce(F.sum(F.col("count") - bucket_cap), F.lit(0)).alias("d"),
+                F.count("*").alias("b"),
+            )
+            .first()
+        )
         stats_out["dropped_bucket_rows"] = row["d"]
         stats_out["overflowed_buckets"] = row["b"]
         if row["d"]:
@@ -101,10 +124,19 @@ def _cap_buckets(
                 row["d"],
                 row["b"],
             )
-    # free observability on the main job: CollectMetrics sees every ranked row
     _CAP_METRIC_SEQ[0] += 1
+    seq = _CAP_METRIC_SEQ[0]
+    salt = F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts))
+    w1 = Window.partitionBy(*bucket_keys, salt).orderBy(F.asc("id"))
+    pre = banded.withColumn("_r1", F.row_number().over(w1)).observe(
+        f"lsh_cap_dropped_l1_{seq}",
+        F.sum((F.col("_r1") > bucket_cap).cast("long")).alias("dropped_rows_l1"),
+    )
+    pre = pre.where(F.col("_r1") <= bucket_cap).drop("_r1")
+    w2 = Window.partitionBy(*bucket_keys).orderBy(F.asc("id"))
+    ranked = pre.withColumn("_bn", F.row_number().over(w2))
     observed = ranked.observe(
-        f"lsh_cap_dropped_{_CAP_METRIC_SEQ[0]}",
+        f"lsh_cap_dropped_{seq}",
         F.sum((F.col("_bn") > bucket_cap).cast("long")).alias("dropped_rows"),
     )
     return observed.where(F.col("_bn") <= bucket_cap).drop("_bn")

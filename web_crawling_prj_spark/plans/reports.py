@@ -34,7 +34,9 @@ def run_summary(metrics: DataFrame, fail_threshold_ratio: float = 0.5) -> DataFr
     failed_cnt, retried_cnt). Output: one row per round with totals,
     success_rate_pct = (ops - errors) / ops * 100, and run_failed =
     failed ≥ ⌈scheduled · ratio⌉ (ceil, not round — banker's rounding would
-    flag 2 of 5)."""
+    flag 2 of 5). A scheduled == 0 round (possible over arbitrary metrics
+    tables, never emitted by crawl_round's groupBy) is an idle round, not a
+    failed one: success_rate_pct = 100, run_failed = false."""
     agg = metrics.groupBy("round_id").agg(
         F.sum("scheduled_cnt").alias("scheduled"),
         F.sum("fetched_ok_cnt").alias("ok"),
@@ -47,10 +49,16 @@ def run_summary(metrics: DataFrame, fail_threshold_ratio: float = 0.5) -> DataFr
         "ok",
         "failed",
         "retried",
-        F.round((F.col("scheduled") - F.col("failed")) * 100.0 / F.col("scheduled"), 4).alias(
-            "success_rate_pct"
-        ),
-        (F.col("failed") >= F.ceil(F.col("scheduled") * fail_threshold_ratio)).alias("run_failed"),
+        F.when(
+            F.col("scheduled") > 0,
+            F.round((F.col("scheduled") - F.col("failed")) * 100.0 / F.col("scheduled"), 4),
+        )
+        .otherwise(F.lit(100.0))
+        .alias("success_rate_pct"),
+        (
+            (F.col("scheduled") > 0)
+            & (F.col("failed") >= F.ceil(F.col("scheduled") * fail_threshold_ratio))
+        ).alias("run_failed"),
     )
 
 
