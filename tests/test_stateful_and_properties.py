@@ -186,3 +186,92 @@ def test_token_bucket_stream_with_ttl_enabled(spark, tmp_path):
     assert len(got) == 6
     # burst 3 + refills: first 3 admitted immediately; each +1 epoch refills 2
     assert sum(1 for r in got if r.admitted) >= 3
+
+
+def test_token_bucket_vectorized_equals_scalar_reference_and_is_fast():
+    """The numpy token-bucket kernel must emit rows IDENTICAL to the scalar
+    per-row recurrence (admitted flags and float tokens_after alike) on an
+    adversarial sequence — bursty same-epoch runs, idle gaps, out-of-order
+    epochs across chunks — and must chew through a 10^5-event single-host
+    group far faster than row-at-a-time pandas ever could."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from web_crawling_prj_spark.streaming.stateful import make_token_bucket_fn
+
+    class FakeState:
+        def __init__(self):
+            self._exists, self._value, self.hasTimedOut = False, None, False
+
+        @property
+        def exists(self):
+            return self._exists
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._exists, self._value = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def scalar_reference(chunks, rate_per_s, burst):
+        tokens, last_epoch = burst, 0
+        out = []
+        for pdf in chunks:
+            pdf = pdf.sort_values(["event_epoch", "url_hash"])
+            for _, row in pdf.iterrows():
+                epoch = int(row["event_epoch"])
+                tokens = min(burst, tokens + max(0, epoch - last_epoch) * rate_per_s)
+                last_epoch = max(last_epoch, epoch)
+                admitted = tokens >= 1.0
+                if admitted:
+                    tokens -= 1.0
+                out.append(("h", row["url_canon"], int(row["url_hash"]), epoch, admitted, tokens))
+        return pd.DataFrame(
+            out, columns=["host", "url_canon", "url_hash", "event_epoch", "admitted", "tokens_after"]
+        ), tokens, last_epoch
+
+    rng = np.random.default_rng(11)
+    chunks = []
+    base = 0
+    for c in range(4):
+        n = 400
+        # bursty: many duplicate epochs + gaps; chunk 3 jumps BACKWARD in time
+        ep = np.sort(rng.choice(np.arange(base, base + 60), size=n))
+        base += 40 if c != 2 else -30
+        chunks.append(
+            pd.DataFrame(
+                {
+                    "url_canon": [f"u{c}-{i}" for i in range(n)],
+                    "url_hash": rng.permutation(n).astype("int64"),
+                    "event_epoch": ep.astype("int64"),
+                }
+            )
+        )
+    fn = make_token_bucket_fn(rate_per_s=1.7, burst=9.3)
+    st = FakeState()
+    got = pd.concat(list(fn(("h",), iter([c.copy() for c in chunks]), st)), ignore_index=True)
+    want, t_end, e_end = scalar_reference([c.copy() for c in chunks], 1.7, 9.3)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+    assert st.get == (float(t_end), int(e_end))  # carried state identical too
+
+    # 10^5 events, one host, all-distinct epochs (worst case for the
+    # unique-epoch loop): must finish in well under a second of kernel time
+    big = pd.DataFrame(
+        {
+            "url_canon": ["u"] * 100_000,
+            "url_hash": np.arange(100_000, dtype="int64"),
+            "event_epoch": np.arange(100_000, dtype="int64"),
+        }
+    )
+    st2 = FakeState()
+    t0 = time.time()
+    out = pd.concat(list(fn(("h",), iter([big]), st2)), ignore_index=True)
+    wall = time.time() - t0
+    assert len(out) == 100_000 and out["admitted"].all()  # rate 1.7/s, 1 event/s
+    assert wall < 2.0, f"vectorized token bucket took {wall:.2f}s for 1e5 events"

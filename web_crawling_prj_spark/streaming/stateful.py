@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -65,23 +66,54 @@ def make_token_bucket_fn(rate_per_s: float = 2.0, burst: float = 10.0, idle_ttl_
             tokens, last_epoch = state.get
         else:
             tokens, last_epoch = burst, 0
+        # Vectorized recurrence. The bucket only refills when the epoch
+        # ADVANCES, so the sequential part collapses to one O(1) step per
+        # DISTINCT epoch: after refilling to t, a run of m same-epoch events
+        # admits k = min(m, floor(t)) (admit while tokens ≥ 1, spending 1.0
+        # each — float-exact for |t| ≤ burst), emitting t−(rank+1) for
+        # admitted rows and t−k for denied ones. Per-event work (ranks,
+        # admitted flags, tokens_after) is pure numpy; the Python loop is over
+        # unique epochs only, never rows. Chunks are processed sequentially
+        # carrying (tokens, last_epoch), exactly like the scalar original.
         out = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["event_epoch", "url_hash"])
-            for _, row in pdf.iterrows():
-                epoch = int(row["event_epoch"])
-                tokens = min(burst, tokens + max(0, epoch - last_epoch) * rate_per_s)
-                last_epoch = max(last_epoch, epoch)
-                admitted = tokens >= 1.0
-                if admitted:
-                    tokens -= 1.0
-                out.append(
-                    (host, row["url_canon"], int(row["url_hash"]), epoch, admitted, tokens)
+            epochs = pdf["event_epoch"].to_numpy(dtype=np.int64)
+            uniq, grp_start, grp_n = np.unique(epochs, return_index=True, return_counts=True)
+            k_g = np.empty(len(uniq), dtype=np.int64)
+            tref_g = np.empty(len(uniq), dtype=np.float64)
+            for gi in range(len(uniq)):
+                e = int(uniq[gi])
+                tokens = min(burst, tokens + max(0, e - last_epoch) * rate_per_s)
+                last_epoch = max(last_epoch, e)
+                k = min(int(grp_n[gi]), int(tokens)) if tokens >= 1.0 else 0
+                tref_g[gi], k_g[gi] = tokens, k
+                tokens -= k
+            rank = np.arange(len(epochs)) - np.repeat(grp_start, grp_n)
+            k_per = np.repeat(k_g, grp_n)
+            tref = np.repeat(tref_g, grp_n)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "host": host,
+                        "url_canon": pdf["url_canon"].to_numpy(),
+                        "url_hash": pdf["url_hash"].to_numpy(dtype=np.int64),
+                        "event_epoch": epochs,
+                        "admitted": rank < k_per,
+                        "tokens_after": tref - np.minimum(rank + 1, k_per),
+                    }
                 )
+            )
         state.update((float(tokens), int(last_epoch)))
         if idle_ttl_ms:
             state.setTimeoutDuration(idle_ttl_ms)  # re-armed every batch seen
-        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        yield (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame([], columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        )
 
     return fn
 
