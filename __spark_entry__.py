@@ -607,14 +607,14 @@ def q_media_decode(spark, sf_dir):
 def q_crawl_rounds(spark, sf_dir):
     """Flagship integration: two full crawl rounds (dedup→robots→politeness→
     fetch→retry→checkpoint), returns the fetch log (rows-only check)."""
-    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, run_crawl
-    from web_crawling_prj_spark.plans.statestore import StateStore
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store, run_crawl
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
     pages = pages_df(spark, sf_dir).persist()
     cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25, use_bloom=False)
     cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
-    store = StateStore(tempfile.mkdtemp(prefix="wcp_entry_"))
+    # bucketed store: the steady-state anti-join runs shuffle-free (r3 layout)
+    store = crawl_store(tempfile.mkdtemp(prefix="wcp_entry_"), cfg)
     try:
         run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
     finally:

@@ -5,7 +5,12 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, frontier_from_seeds, run_crawl
+from web_crawling_prj_spark.plans.crawl_round import (
+    CrawlConfig,
+    crawl_store,
+    frontier_from_seeds,
+    run_crawl,
+)
 from web_crawling_prj_spark.plans.statestore import StateStore
 from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
@@ -46,7 +51,7 @@ def test_frontier_from_seeds_dedups(spark, sf_dir):
 
 def test_three_rounds_end_to_end(spark, tmp_path, crawl_inputs):
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "s1"))
+    store = crawl_store(str(tmp_path / "s1"), cfg)
     stats = run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
     assert [s["round_id"] for s in stats] == [1, 2, 3]
     assert all(s["scheduled"] > 0 for s in stats)
@@ -78,11 +83,11 @@ def test_three_rounds_end_to_end(spark, tmp_path, crawl_inputs):
 
 def test_kill_resume_reproduces_state(spark, tmp_path, crawl_inputs):
     pages, robots, seeds, cfg = crawl_inputs
-    a = StateStore(str(tmp_path / "a"))
+    a = crawl_store(str(tmp_path / "a"), cfg)
     run_crawl(spark, a, pages, robots, seeds, rounds=3, cfg=cfg)
 
     # "killed" run: stop after round 1, then resume to 3
-    b = StateStore(str(tmp_path / "b"))
+    b = crawl_store(str(tmp_path / "b"), cfg)
     run_crawl(spark, b, pages, robots, seeds, rounds=1, cfg=cfg)
     # simulate orphan garbage from a kill mid-round-2 (data written, no manifest)
     orphan = b.root + "/frontier/round=000002"
@@ -101,10 +106,10 @@ def test_determinism_across_parallelism(spark, tmp_path, crawl_inputs):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
-        s3 = StateStore(str(tmp_path / "p3"))
+        s3 = crawl_store(str(tmp_path / "p3"), cfg)
         run_crawl(spark, s3, pages, robots, seeds, rounds=2, cfg=cfg)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        s8 = StateStore(str(tmp_path / "p8"))
+        s8 = crawl_store(str(tmp_path / "p8"), cfg)
         run_crawl(spark, s8, pages, robots, seeds, rounds=2, cfg=cfg)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
@@ -113,7 +118,7 @@ def test_determinism_across_parallelism(spark, tmp_path, crawl_inputs):
 
 def test_robots_and_budget_invariants(spark, tmp_path, crawl_inputs):
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "inv"))
+    store = crawl_store(str(tmp_path / "inv"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
     log = store.read_all(spark, "fetch_log")
 
@@ -141,7 +146,7 @@ def test_failed_mode_frontier(spark, tmp_path, crawl_inputs):
     from web_crawling_prj_spark.plans.crawl_round import failed_mode_frontier
 
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "fm"))
+    store = crawl_store(str(tmp_path / "fm"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
     fm = failed_mode_frontier(spark, store)
     rows = fm.collect()
@@ -162,11 +167,11 @@ def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
     pages, robots, seeds, cfg = crawl_inputs
     cfg2 = dataclasses.replace(cfg, pagerank_weight=0.4)
     cfg2.extra["max_doc_id"] = cfg.extra["max_doc_id"]
-    store = StateStore(str(tmp_path / "pr"))
+    store = crawl_store(str(tmp_path / "pr"), cfg)
     stats = run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg2)
     assert all(s["scheduled"] > 0 for s in stats)
     # determinism holds with pagerank enabled
-    store2 = StateStore(str(tmp_path / "pr2"))
+    store2 = crawl_store(str(tmp_path / "pr2"), cfg)
     run_crawl(spark, store2, pages, robots, seeds, rounds=3, cfg=cfg2)
     assert _final_state(store, spark) == _final_state(store2, spark)
 
@@ -188,7 +193,7 @@ def test_robots_refresh_blocks_host_next_round(spark, tmp_path, crawl_inputs):
         ).otherwise(F.col("robots_txt"))
         return raw.select("host", hostile.alias("robots_txt"))
 
-    store = StateStore(str(tmp_path / "rr"))
+    store = crawl_store(str(tmp_path / "rr"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg, robots_source=robots_source)
     log = store.read_all(spark, "fetch_log")
     per_round = {
@@ -211,7 +216,7 @@ def test_run_report_committed_and_abort_threshold(spark, tmp_path, crawl_inputs)
     from web_crawling_prj_spark.plans.reports import run_summary
 
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "rep"))
+    store = crawl_store(str(tmp_path / "rep"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
     for r in (1, 2):
         rep = store.read_round(spark, "run_report", r).collect()
@@ -224,7 +229,7 @@ def test_run_report_committed_and_abort_threshold(spark, tmp_path, crawl_inputs)
     # force a failing run: ~99% failure per-mille → threshold trips → raises
     bad = dataclasses.replace(cfg, failure_per_mille=990)
     bad.extra = dict(cfg.extra, abort_on_failed_run=True)
-    store2 = StateStore(str(tmp_path / "rep2"))
+    store2 = crawl_store(str(tmp_path / "rep2"), cfg)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="failed"):
@@ -245,9 +250,9 @@ def test_seen_compaction_equivalence_and_path_bound(spark, tmp_path, crawl_input
     cb = dataclasses.replace(cfg, compact_every=0)
     cb.extra["max_doc_id"] = cfg.extra["max_doc_id"]
 
-    a = StateStore(str(tmp_path / "ca"))
+    a = crawl_store(str(tmp_path / "ca"), cfg)
     run_crawl(spark, a, pages, robots, seeds, rounds=8, cfg=ca)
-    b = StateStore(str(tmp_path / "cb"))
+    b = crawl_store(str(tmp_path / "cb"), cfg)
     run_crawl(spark, b, pages, robots, seeds, rounds=4, cfg=cb)  # "killed" …
     run_crawl(spark, b, pages, robots, seeds, rounds=8, cfg=cb)  # … resumed
 
@@ -272,7 +277,7 @@ def test_kill_mid_compaction_is_safe(spark, tmp_path, crawl_inputs):
     """A compaction that died before the pointer swap leaves garbage the next
     compact() overwrites; read_all never sees a half-written base."""
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "mc"))
+    store = crawl_store(str(tmp_path / "mc"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
     # fabricate a dead half-compaction: base dir exists, no pointer
     dead = store._base_dir("seen_delta", 2)
@@ -290,7 +295,7 @@ def test_circuit_open_then_half_open(spark, tmp_path, crawl_inputs):
     import datetime as dt
 
     pages, robots, seeds, cfg = crawl_inputs
-    store = StateStore(str(tmp_path / "cb"))
+    store = crawl_store(str(tmp_path / "cb"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
 
     hot = "host-0000.example"
@@ -330,3 +335,45 @@ def test_circuit_open_then_half_open(spark, tmp_path, crawl_inputs):
     run_round(spark, store, pages, robots, 5, cfg)
     log5 = store.read_round(spark, "fetch_log", 5)
     assert log5.where(F.col("host") == hot).count() == 1  # exactly one probe
+
+
+def test_bucketed_store_equals_plain_store(spark, tmp_path, crawl_inputs):
+    """The bucketed layout is a pure physical choice: a crawl on the bucketed
+    crawl_store produces the identical seen-set and schedule as one on a plain
+    parquet StateStore."""
+    pages, robots, seeds, cfg = crawl_inputs
+    plain = StateStore(str(tmp_path / "plain"))
+    run_crawl(spark, plain, pages, robots, seeds, rounds=3, cfg=cfg)
+    bkt = crawl_store(str(tmp_path / "bkt"), cfg)
+    run_crawl(spark, bkt, pages, robots, seeds, rounds=3, cfg=cfg)
+    assert _final_state(plain, spark) == _final_state(bkt, spark)
+    shutil.rmtree(str(tmp_path / "plain"))
+    shutil.rmtree(str(tmp_path / "bkt"))
+
+
+def test_bucketed_tables_reregister_in_fresh_catalog(spark, tmp_path, crawl_inputs):
+    """Resume in a NEW session: the in-memory catalog is empty, so bucketed
+    reads re-create the external table entries from manifest metadata. The
+    data (and bucket layout) live on disk; registration is metadata-only."""
+    pages, robots, seeds, cfg = crawl_inputs
+    store = crawl_store(str(tmp_path / "fresh"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    store.compact(spark, "seen_delta", up_to=2)
+    before = store.read_round(spark, "frontier", 2).count()
+    seen_before = store.read_all(spark, "seen_delta").count()
+
+    # simulate the fresh session: drop every catalog entry this store created
+    for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+        spark.sql(f"DROP TABLE {t.tableName}")
+    store2 = crawl_store(str(tmp_path / "fresh"), cfg)  # resumed driver
+    assert store2.last_committed_round() == 2
+    f = store2.read_round(spark, "frontier", 2)
+    assert f.count() == before
+    base, deltas = store2.read_parts(spark, "seen_delta", up_to=2)
+    total = (base.count() if base is not None else 0) + sum(d.count() for d in deltas)
+    assert total == seen_before
+    # and round 3 actually runs on the re-registered store
+    from web_crawling_prj_spark.plans.crawl_round import run_round
+
+    stats = run_round(spark, store2, pages, robots, 3, cfg)
+    assert stats["scheduled"] > 0

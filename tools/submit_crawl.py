@@ -35,8 +35,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, run_crawl
-    from web_crawling_prj_spark.plans.statestore import StateStore
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store, run_crawl
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
     spark = SparkSession.builder.appName("wcp-crawl").getOrCreate()
@@ -52,7 +51,7 @@ def main() -> None:
     )
     cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
 
-    store = StateStore(args.state_dir)
+    store = crawl_store(args.state_dir, cfg)
     t0 = time.time()
     stats = run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, args.sf_dir), rounds=args.rounds, cfg=cfg)
     for s in stats:

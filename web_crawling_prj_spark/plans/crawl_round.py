@@ -45,7 +45,7 @@ from web_crawling_prj_spark.operators.bloom import (
     build_sharded_bloom,
     merge_blooms,
 )
-from web_crawling_prj_spark.operators.dedup import anti_join_seen, dedup_within_batch
+from web_crawling_prj_spark.operators.dedup import anti_join_seen_layered, dedup_within_batch
 from web_crawling_prj_spark.operators.fetch import discover_outlinks, synthetic_fetch
 from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
 from web_crawling_prj_spark.operators.retry import classify_fetch_log, update_circuit_state
@@ -96,6 +96,20 @@ class CrawlConfig:
 
         t0 = datetime.fromisoformat(self.base_ts)
         return (t0 + timedelta(milliseconds=round_id * self.round_duration_ms)).isoformat(sep=" ")
+
+
+def crawl_store(root: str, cfg: CrawlConfig | None = None) -> StateStore:
+    """The crawl's StateStore: frontier and seen-set BUCKETED on url_hash with
+    cfg.num_buckets — the layout that makes the steady-state per-round
+    anti-join shuffle-free (each task reads its own bucket from both sides;
+    see tests/test_plan_shapes.py). Iceberg analog: bucket(N, url_hash)
+    partition transform on both tables."""
+    cfg = cfg or CrawlConfig()
+    spec = {
+        "frontier": ("url_hash", cfg.num_buckets),
+        "seen_delta": ("url_hash", cfg.num_buckets),
+    }
+    return StateStore(root, bucket_spec=spec)
 
 
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
@@ -154,19 +168,24 @@ def run_round(
             b.destroy()
 
 
-def _run_round(
+def pending_frontier(
     spark: SparkSession,
     store: StateStore,
-    pages: DataFrame,
-    robots: DataFrame,
     round_id: int,
     cfg: CrawlConfig,
-    persisted: list,
     bcasts: list,
-) -> dict:
+) -> tuple[DataFrame, DataFrame, "object"]:
+    """Steps 0–2 of a round: read the committed frontier, split by backoff
+    eligibility, and dedup vs the seen-set → (pending, deferred, bloom).
+
+    This is THE scale-critical plan of the steady state: with the bucketed
+    store (crawl_store) the frontier scan, the bloom probe, and the anti-join
+    chain against the compacted seen base + per-round deltas all run in the
+    frontier's own bucket layout — zero exchanges end to end
+    (tests/test_plan_shapes.py pins that on this exact function)."""
     round_ts = cfg.round_ts(round_id)
     frontier = store.read_round(spark, "frontier", round_id - 1)
-    seen = store.read_all(spark, "seen_delta", up_to=round_id - 1)
+    seen_base, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
 
     # 0) optional importance re-prioritization from the discovered link graph
     if cfg.pagerank_weight > 0:
@@ -187,30 +206,62 @@ def _run_round(
         F.col("next_eligible_ts").isNotNull() & (F.col("next_eligible_ts") > F.lit(round_ts).cast("timestamp"))
     )
 
-    # 2) dedup vs seen (bloom prefilter + exact anti-join). The bloom is
-    # maintained INCREMENTALLY: the cumulative bitmap rides along in the state
-    # store (puffin-style sidecar) and each round ORs in a delta built from its
-    # own (small) seen_delta — the full seen-set is never rescanned.
+    # 2) dedup vs seen. Two layout-matched strategies:
+    #    - BUCKETED store (crawl_store): frontier, seen base, and deltas all
+    #      carry HashPartitioning(url_hash, P) + per-bucket sort → the chained
+    #      anti-joins are zero-exchange streaming merges. The bloom tier is
+    #      deliberately NOT routed here: it only ever saved shuffle bytes, the
+    #      bucketed join has none, the seen side streams fully either way, and
+    #      the Arrow probe node would break partitioning propagation
+    #      (EvalPython nodes report unknown output partitioning) and reinstate
+    #      the exchange it was meant to avoid.
+    #    - PLAIN store: bloom prefilter routes provably-unseen rows around the
+    #      exchange, maintained INCREMENTALLY (puffin-style sidecar; each
+    #      round ORs in a delta bloom — the full seen-set is never rescanned).
     bloom = None
     bloom_bcast = None  # round-owned broadcast (destroyed in run_round's
     # finally) — a thousand-round crawl must not accumulate bitmaps on executors
-    if seen is not None:
-        if cfg.use_bloom:
+    if seen_base is not None or seen_deltas:
+        if _use_bloom(store, cfg):
             raw = store.load_bloom(round_id - 1)
             if raw is not None:
                 bloom = bloom_from_bytes(raw)
             else:  # first bloom round (or store predates blooms): one-time build
+                seen_all = store.read_all(spark, "seen_delta", up_to=round_id - 1)
                 bloom = build_sharded_bloom(
-                    seen,
+                    seen_all,
                     num_shards=cfg.num_buckets,
                     expected_per_shard=cfg.bloom_expected_per_shard,
                     fpp=cfg.bloom_fpp,
                 )
             bloom_bcast = broadcast_bloom(spark, bloom)
             bcasts.append(bloom_bcast)
-        pending = anti_join_seen(eligible, seen, bloom=bloom, bloom_bcast=bloom_bcast)
+        pending = anti_join_seen_layered(
+            eligible, seen_base, seen_deltas, bloom=bloom, bloom_bcast=bloom_bcast
+        )
     else:
         pending = eligible
+    return pending, deferred, bloom
+
+
+def _use_bloom(store: StateStore, cfg: CrawlConfig) -> bool:
+    """Bloom tier is the PLAIN-layout optimization; the bucketed layout
+    replaces it structurally (see pending_frontier step 2)."""
+    return cfg.use_bloom and "seen_delta" not in store.bucket_spec
+
+
+def _run_round(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    cfg: CrawlConfig,
+    persisted: list,
+    bcasts: list,
+) -> dict:
+    round_ts = cfg.round_ts(round_id)
+    pending, deferred, bloom = pending_frontier(spark, store, round_id, cfg, bcasts)
 
     # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
     # HERE (not after the circuit split) so the quarantined branch does not
@@ -311,24 +362,32 @@ def _run_round(
         candidates = candidates.unionByName(quarantined)
     # dedup preference: in-flight retry state (attempt, backoff) must survive a
     # fresh rediscovery of the same URL — otherwise attempt counters reset and
-    # the per-class retry budget / backoff gate are silently bypassed
+    # the per-class retry budget / backoff gate are silently bypassed.
+    # Repartition BEFORE the dedup groupBy: hashpartitioning(url_hash, P)
+    # satisfies the aggregation's clustering requirement AND is exactly the
+    # bucket layout the frontier write wants — one exchange total, and the
+    # bucketed write then emits one file per bucket.
     next_frontier = dedup_within_batch(
-        candidates,
+        candidates.repartition(cfg.num_buckets, "url_hash"),
         key="url_hash",
         prefer=[
             -F.coalesce(F.col("attempt"), F.lit(0)),
             -F.coalesce(F.col("priority"), F.lit(0.0)),
         ],
-    ).repartition(cfg.num_buckets, "url_hash")
+    )
 
     # 9) seen-delta: everything scheduled this round (fetched or failed —
     # failures re-enter via the retry path, not by staying "unseen";
     # reference: a fetched-and-failed sku is re-derived from mode='failed')
-    seen_delta = fetch_log.where(~F.col("can_retry")).select(
-        "url_hash",
-        bucket_of("url_hash", cfg.num_buckets).alias("bucket"),
-        F.lit(round_id).alias("first_seen_round"),
-        F.col("fetched_ts").alias("first_seen_ts"),
+    seen_delta = (
+        fetch_log.where(~F.col("can_retry"))
+        .select(
+            "url_hash",
+            bucket_of("url_hash", cfg.num_buckets).alias("bucket"),
+            F.lit(round_id).alias("first_seen_round"),
+            F.col("fetched_ts").alias("first_seen_ts"),
+        )
+        .repartition(cfg.num_buckets, "url_hash")  # bucket layout, 1 file/bucket
     )
 
     # 10) per-partition lineage counters (north rule C20) — by seen bucket
@@ -361,8 +420,9 @@ def _run_round(
         extra_meta={"round_ts": round_ts},
     )
     # maintain the cumulative bloom sidecar: delta bloom over this round's
-    # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap
-    if cfg.use_bloom:
+    # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap.
+    # Skipped entirely on the bucketed layout — nothing ever probes it there.
+    if _use_bloom(store, cfg):
         delta = build_sharded_bloom(
             seen_delta,
             num_shards=cfg.num_buckets,

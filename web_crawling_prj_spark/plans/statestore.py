@@ -22,10 +22,23 @@ every caller goes through this interface, nothing else changes.
 Tables are partitioned by round (directory) and data files are laid out by the
 seen-set bucket column where applicable, so reads prune by round and joins can
 reuse the bucket layout.
+
+**Bucketed layout** (``bucket_spec``): tables named in ``bucket_spec`` —
+``{table: (key_col, num_buckets)}`` — are written as BUCKETED metastore tables
+(``bucketBy(n, key)`` + explicit ``path`` under the store root, so the data
+files and the manifest commit point are exactly where they always were; only
+the catalog entry is extra). This is the 100 TB steady-state answer to the
+per-round frontier ∖ seen anti-join: when both sides carry the same
+``HashPartitioning(key, n)`` bucket layout, the join needs ZERO exchanges —
+each task reads its own bucket from both sides (Iceberg bucket-partition
+transform analog). Catalog entries are re-created from manifest metadata on
+read (``_ensure_registered``), so a resumed driver in a fresh session — whose
+in-memory catalog is empty — sees the same bucketed tables.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -36,9 +49,66 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class StateStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, bucket_spec: dict[str, tuple[str, int]] | None = None):
         self.root = root
+        self.bucket_spec = bucket_spec or {}
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        # catalog names must be unique per store root (tests run many stores
+        # against one session) and survive nothing — the manifest carries the
+        # DDL to re-register them anywhere
+        self._prefix = "wcs_" + hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
+
+    # --- bucketed-table plumbing ---
+
+    def _tbl_name(self, table: str, round_id: int) -> str:
+        return f"{self._prefix}_{table}_r{round_id:06d}"
+
+    def _base_tbl_name(self, table: str, upto: int) -> str:
+        return f"{self._prefix}_{table}_base_{upto:06d}"
+
+    @staticmethod
+    def _schema_ddl(df: DataFrame) -> str:
+        return df._jdf.schema().toDDL()
+
+    def _write_bucketed(self, df: DataFrame, table: str, path: str, tbl: str) -> dict[str, Any]:
+        """Write `df` as a bucketed external table at `path`; returns the
+        manifest metadata needed to re-register it in a fresh session.
+
+        Callers own the partitioning: data already laid out as
+        ``HashPartitioning(key, n)`` (repartition(n, key)) writes exactly one
+        file per bucket — bucketBy uses the same murmur3+pmod id expression —
+        while unpartitioned input writes up to tasks×n files (correct, just
+        more files)."""
+        col, n = self.bucket_spec[table]
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.exists(path):
+            shutil.rmtree(path)  # orphan from a killed run
+        ddl = self._schema_ddl(df)
+        # sortBy(key): with one file per bucket (callers repartition(n, key))
+        # the scan exposes per-bucket ordering too, so the anti-join is a pure
+        # streaming merge — no exchange AND no sort at read time
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n, col)
+            .sortBy(col)
+            .saveAsTable(tbl)
+        )
+        return {"col": col, "n": n, "ddl": ddl}
+
+    def _ensure_registered(
+        self, spark: SparkSession, tbl: str, path: str, meta: dict[str, Any]
+    ) -> None:
+        """Re-create the catalog entry (fresh session after resume). The table
+        is EXTERNAL (explicit LOCATION) — registration never touches data."""
+        if spark.catalog.tableExists(tbl):
+            return
+        spark.sql(
+            f"CREATE TABLE {tbl} ({meta['ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({meta['col']}) SORTED BY ({meta['col']}) INTO {meta['n']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
 
     # --- manifest plumbing ---
 
@@ -79,9 +149,16 @@ class StateStore:
             raise ValueError(f"round {round_id} already committed")
         from concurrent.futures import ThreadPoolExecutor
 
+        bucket_meta: dict[str, dict[str, Any]] = {}
+
         def _write(item):
             name, df = item
             path = self._table_round_dir(name, round_id)
+            if name in self.bucket_spec:
+                bucket_meta[name] = self._write_bucketed(
+                    df, name, path, self._tbl_name(name, round_id)
+                )
+                return
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a killed run
             df.write.mode("overwrite").parquet(path)
@@ -92,6 +169,8 @@ class StateStore:
         with ThreadPoolExecutor(max_workers=min(4, max(1, len(tables)))) as ex:
             list(ex.map(_write, tables.items()))
         meta = {"round_id": round_id, "tables": sorted(tables), **(extra_meta or {})}
+        if bucket_meta:
+            meta["bucketed"] = bucket_meta
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -164,25 +243,41 @@ class StateStore:
             return None
         upto = max(rounds)
         df = self.read_all(spark, table, up_to=upto)
-        if num_buckets and bucket_col in df.columns:
-            df = df.repartition(num_buckets, bucket_col)  # keep the join layout
+        if df is None:  # every round in range wrote zero rows
+            return None
         new_dir = self._base_dir(table, upto)
-        if os.path.exists(new_dir):
-            shutil.rmtree(new_dir)
-        df.write.mode("overwrite").parquet(new_dir)
+        pointer: dict[str, Any] = {"table": table, "upto": upto}
+        if table in self.bucket_spec:
+            # the base IS the bucketed seen-set layout: one repartition on the
+            # key per compaction buys every subsequent round a shuffle-free
+            # anti-join against it
+            col, n = self.bucket_spec[table]
+            bmeta = self._write_bucketed(
+                df.repartition(n, col), table, new_dir, self._base_tbl_name(table, upto)
+            )
+            pointer.update(bmeta)
+        else:
+            if num_buckets and bucket_col in df.columns:
+                df = df.repartition(num_buckets, bucket_col)  # keep the join layout
+            if os.path.exists(new_dir):
+                shutil.rmtree(new_dir)
+            df.write.mode("overwrite").parquet(new_dir)
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"table": table, "upto": upto}, f)
+            json.dump(pointer, f)
         os.rename(tmp, self._base_pointer_path(table))  # atomic publish
         if prev is not None and os.path.exists(self._base_dir(table, prev)):
             shutil.rmtree(self._base_dir(table, prev))  # superseded base
+        if prev is not None and table in self.bucket_spec:
+            spark.sql(f"DROP TABLE IF EXISTS {self._base_tbl_name(table, prev)}")
         return upto
 
-    def vacuum_compacted(self, table: str) -> int:
+    def vacuum_compacted(self, table: str, spark: SparkSession | None = None) -> int:
         """Delete per-round dirs already folded into the base. Irreversible
         for per-round history: read_round on a folded round and
         read_all(up_to < base) raise afterwards (read_all at or past the base
-        is unaffected — the base carries every folded row)."""
+        is unaffected — the base carries every folded row). Pass ``spark`` to
+        also drop the folded rounds' catalog entries (bucketed tables)."""
         upto = self.base_upto(table)
         if upto is None:
             return 0
@@ -192,6 +287,8 @@ class StateStore:
             if r <= upto and os.path.exists(d):
                 shutil.rmtree(d)
                 n += 1
+                if spark is not None and table in self.bucket_spec:
+                    spark.sql(f"DROP TABLE IF EXISTS {self._tbl_name(table, r)}")
         return n
 
     # --- read path (only committed rounds are visible) ---
@@ -204,9 +301,69 @@ class StateStore:
         )
 
     def read_round(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
+        """Bucketed tables come back as catalog reads (``spark.table``) so the
+        scan exposes its HashPartitioning to joins; plain tables as parquet."""
         if not os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} is not committed")
+        bmeta = self.manifest(round_id).get("bucketed", {}).get(table)
+        if table in self.bucket_spec and bmeta is not None:
+            tbl = self._tbl_name(table, round_id)
+            self._ensure_registered(spark, tbl, self._table_round_dir(table, round_id), bmeta)
+            return spark.table(tbl)
         return spark.read.parquet(self._table_round_dir(table, round_id))
+
+    def read_parts(
+        self, spark: SparkSession, table: str, up_to: int | None = None
+    ) -> tuple[DataFrame | None, list[DataFrame]]:
+        """Layout-aware split read: (compacted base, [per-round deltas]).
+
+        For bucketed tables every part is a catalog read carrying the bucket
+        layout, so a caller can CHAIN anti-joins against base then each delta
+        with zero exchanges (a union would erase the partitioning — Spark's
+        Union node reports unknown output partitioning even over co-bucketed
+        children). For plain tables: base dir read + ONE multi-path delta scan
+        (same data `read_all` returns, split at the compaction floor).
+        """
+        rounds = self.committed_rounds()
+        if up_to is not None:
+            rounds = [r for r in rounds if r <= up_to]
+        base = self.base_upto(table)
+        base_df = None
+        floor = -1
+        if base is not None and (up_to is None or base <= up_to):
+            floor = base
+            if table in self.bucket_spec:
+                bp = self._base_pointer(table)
+                tbl = self._base_tbl_name(table, base)
+                self._ensure_registered(spark, tbl, self._base_dir(table, base), bp)
+                base_df = spark.table(tbl)
+            else:
+                base_df = spark.read.parquet(self._base_dir(table, base))
+        delta_rounds = [
+            r
+            for r in rounds
+            if r > floor and self._round_has_rows(table, r)
+        ]
+        if table in self.bucket_spec:
+            deltas = [self.read_round(spark, table, r) for r in delta_rounds]
+        else:
+            paths = [self._table_round_dir(table, r) for r in delta_rounds]
+            deltas = (
+                [spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)]
+                if paths
+                else []
+            )
+        return base_df, deltas
+
+    def _round_has_rows(self, table: str, round_id: int) -> bool:
+        """True iff the round wrote this table with ≥1 data file (bucketed
+        writes of an EMPTY DataFrame emit no files at all)."""
+        d = self._table_round_dir(table, round_id)
+        return os.path.exists(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def _base_pointer(self, table: str) -> dict[str, Any]:
+        with open(self._base_pointer_path(table)) as f:
+            return json.load(f)
 
     def read_all(self, spark: SparkSession, table: str, up_to: int | None = None) -> DataFrame | None:
         """Union of a table across all committed rounds (e.g. the full seen-set).
@@ -223,8 +380,11 @@ class StateStore:
         base_df = None
         floor = -1
         if base is not None and (up_to is None or base <= up_to):
-            base_df = spark.read.parquet(self._base_dir(table, base))
             floor = base
+            bdir = self._base_dir(table, base)
+            if any(f.endswith(".parquet") for f in os.listdir(bdir)):
+                base_df = spark.read.parquet(bdir)
+            # else: base folded only empty rounds — no files, nothing to read
         elif base is not None:
             # historical read below the base: only valid while the folded
             # per-round dirs still exist (i.e. before vacuum_compacted)
@@ -241,7 +401,7 @@ class StateStore:
         paths = [
             self._table_round_dir(table, r)
             for r in rounds
-            if r > floor and os.path.exists(self._table_round_dir(table, r))
+            if r > floor and self._round_has_rows(table, r)
         ]
         delta_df = (
             spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)

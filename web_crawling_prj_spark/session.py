@@ -43,6 +43,14 @@ def get_spark(
         # hash joins over sort-merge for the hash-keyed crawl joins; AQE
         # skew-splitting keeps partitions bounded so SHJ stays safe
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # The crawl state store writes bucketed+sorted tables with EXACTLY one
+        # file per bucket (statestore._write_bucketed callers repartition on
+        # the bucket key), so exposing the on-disk per-bucket order is safe
+        # and turns the steady-state frontier ∖ seen anti-join into a pure
+        # streaming merge: zero exchanges AND zero sorts. Spark only claims
+        # the ordering when a bucket has ≤1 file — multi-file buckets fall
+        # back to an in-memory sort, never to wrong results.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
