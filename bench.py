@@ -109,6 +109,67 @@ def bench_frontier_core(spark, n: int, n_salts: int = 16, budget: int = 100, use
     }
 
 
+def bench_frontier_core_bucketed(
+    spark, n: int, n_salts: int = 16, budget: int = 100, num_buckets: int = 32, runs: int = 5
+) -> dict:
+    """Steady-state frontier core on the ROUND-3 layout: frontier and seen-set
+    stored as bucketed+sorted tables on url_hash (what crawl_store maintains
+    incrementally), so the per-round anti-join is a zero-exchange, zero-sort
+    streaming merge and the only shuffles left are the politeness rank's two
+    designed exchanges. Setup (writing the layout) is UNTIMED — the crawl
+    amortizes it: every round's commit writes its outputs already bucketed.
+    Timed region per run: scan both tables → merge anti-join → salted two-level
+    politeness rank → count."""
+    import shutil
+
+    base = f"/dev/shm/wcp-bench-bkt-{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    frontier = synthetic_frontier(spark, n)
+    # ~40% of the frontier is already seen (pmod is non-negative for any long,
+    # unlike abs() which ANSI-overflows on MIN_LONG)
+    seen = frontier.where(F.pmod(F.col("url_hash"), F.lit(5)) < 2).select("url_hash")
+    t0 = time.time()
+    for name, df in [("bench_fr_bkt", frontier), ("bench_seen_bkt", seen)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(num_buckets, "url_hash")
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(num_buckets, "url_hash")
+            .sortBy("url_hash")
+            .saveAsTable(name)
+        )
+    setup_s = round(time.time() - t0, 3)
+    budgets = spark.range(0).select(
+        F.lit("x").alias("host"), F.lit(budget).alias("max_per_round"), F.lit(100).alias("crawl_delay_ms")
+    )
+    walls = []
+    n_sched = 0
+    try:
+        for _ in range(runs):
+            t0 = time.time()
+            pending = spark.table("bench_fr_bkt").join(
+                spark.table("bench_seen_bkt"), "url_hash", "left_anti"
+            )
+            scheduled = schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
+            n_sched = scheduled.count()
+            walls.append(round(time.time() - t0, 3))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_fr_bkt")
+        spark.sql("DROP TABLE IF EXISTS bench_seen_bkt")
+        shutil.rmtree(base, ignore_errors=True)
+    wall = min(walls)
+    return {
+        "n_input": n,
+        "n_scheduled": n_sched,
+        "wall_s": wall,
+        "walls_all": walls,
+        "rate": round(n / wall, 1),
+        "layout_setup_s": setup_s,
+        "num_buckets": num_buckets,
+    }
+
+
 def _scaling_child(cores: int, n: int) -> None:
     """Subprocess entry: run the frontier core on a fresh local[cores] JVM and
     print its stats as one JSON line (north-rule two-cluster-size evidence:
@@ -124,10 +185,14 @@ def _scaling_child(cores: int, n: int) -> None:
     spark = get_spark(f"wcp-scale-{cores}", cores=cores, shuffle_partitions=cores)
     # warm the JVM/codegen with a small run so the measured run is steady-state
     bench_frontier_core(spark, 50_000)
-    # best-of-5: single-VM runs have high GC/JIT/host-contention variance
-    runs = [bench_frontier_core(spark, n) for _ in range(5)]
-    res = min(runs, key=lambda r: r["wall_s"])
-    res["walls_all"] = [r["wall_s"] for r in runs]
+    bench_frontier_core_bucketed(spark, 50_000, runs=1)
+    # the headline scaling workload is the BUCKETED steady-state core — the
+    # layout the crawl actually maintains (round 3); best-of-5 inside
+    res = bench_frontier_core_bucketed(spark, n, runs=5)
+    # legacy exchange-bound core kept for round-over-round comparability
+    legacy = [bench_frontier_core(spark, n) for _ in range(3)]
+    res["unbucketed"] = min(legacy, key=lambda r: r["wall_s"])
+    res["unbucketed"]["walls_all"] = [r["wall_s"] for r in legacy]
     expr = F.col("id")
     for _ in range(64):
         expr = F.xxhash64(expr)
@@ -157,11 +222,16 @@ def run_scaling(n: int, levels=(8, 32)) -> dict:
             if line.startswith("SCALING_RESULT "):
                 results[f"local[{cores}]"] = json.loads(line[len("SCALING_RESULT "):])
     lo, hi = f"local[{levels[0]}]", f"local[{levels[1]}]"
+    results["workload"] = "frontier_core_bucketed"  # the real steady-state path
     if lo in results and hi in results:
         ratio = levels[1] / levels[0]
         results["scaling_efficiency"] = round(
             results[hi]["rate"] / (results[lo]["rate"] * ratio), 4
         )
+        if "unbucketed" in results[lo] and "unbucketed" in results[hi]:
+            results["scaling_efficiency_unbucketed"] = round(
+                results[hi]["unbucketed"]["rate"] / (results[lo]["unbucketed"]["rate"] * ratio), 4
+            )
         if results[lo].get("cpu_calib_s") and results[hi].get("cpu_calib_s"):
             results["cpu_ceiling_efficiency"] = round(
                 results[lo]["cpu_calib_s"] / (results[hi]["cpu_calib_s"] * ratio), 4
@@ -194,6 +264,7 @@ def main():
 
     spark = get_spark("wcp-bench", cores=cpus, shuffle_partitions=cpus)
     core = bench_frontier_core(spark, n_urls)
+    core_bucketed = bench_frontier_core_bucketed(spark, n_urls)
 
     # extraction throughput: Arrow-UDF byte-identical HTML→text over the page
     # store (the webtext data-plane hot path)
@@ -268,15 +339,19 @@ def main():
 
     qs = entrymod.queries()
     timings = {}
+    timings_all = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
+        walls = []
         try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(3):  # best-of-3: signal, not single-VM noise
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                walls.append(round(time.time() - t0, 3))
+            timings[name] = min(walls)
+            timings_all[name] = walls
         except Exception as ex:  # a broken query must not kill the bench line
             timings[name] = -1.0
             print(f"bench query {name} failed: {ex}", file=sys.stderr)
@@ -286,8 +361,10 @@ def main():
         "value": core["rate"],
         "unit": "urls/sec",
         "queries": timings,
+        "queries_walls_all": timings_all,
         "sf": sf,
         "frontier_core": core,
+        "frontier_core_bucketed": core_bucketed,
         "extract_pages_per_sec": extract,
         "simhash_docs_per_sec": simhash,
         "ann": ann,

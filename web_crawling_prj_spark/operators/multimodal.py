@@ -3,14 +3,22 @@
 A 100 TB training-data pipeline carries media as ``binary`` payload columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 operators so the JVM↔Python boundary moves whole columnar batches, never rows.
-The decode kernels themselves (PIL/ffmpeg/torchaudio) are NOT in this
-container, so each kernel is stubbed behind ``DECODE_BACKEND``:
+
+**PNG images are decoded for REAL** — functions.png is a pure-stdlib
+(zlib+struct+numpy) spec subset, so ``decode_metadata`` / ``resize_images`` /
+``extract_features`` on PNG blobs parse/resample/pool actual pixels with zero
+extra dependencies. The remaining kernels (JPEG, audio, video: PIL/ffmpeg/
+torchaudio are NOT in this container) stay stubbed behind ``DECODE_BACKEND``:
 
 - ``"fake"`` (default): deterministic synthetic decode — parses the payload's
   self-describing header (our synthetic media blobs carry width/height/etc. in
   the first bytes) and emits real-shaped features. All Spark-side plumbing —
   schema, batch shape, partitioning, UDF signatures — is REAL and tested.
 - ``"real"``: raises NotImplementedError with the dependency note.
+
+Per-blob dispatch: a PNG magic prefix always takes the real stdlib path
+(backend-independent — it needs no missing dependency); WCPM-magic synthetic
+blobs take the backend path.
 
 Synthetic payload format (media_blob): b"WCPM" + mtype(1B) + width(4B LE) +
 height(4B LE) + duration_ms(4B LE) + seeded noise bytes. Deterministic per
@@ -51,8 +59,13 @@ def synth_media_udf(doc_id: pd.Series, mtype: pd.Series) -> pd.Series:
 
 
 def _parse_header(blob: bytes) -> tuple[str, int, int, int]:
+    from web_crawling_prj_spark.functions.png import PNG_MAGIC, decode_ihdr
+
+    if blob is not None and blob[:8] == PNG_MAGIC:  # real image: stdlib parse
+        w, h, _, _ = decode_ihdr(bytes(blob))
+        return "image", w, h, 0
     if blob is None or len(blob) < 17 or blob[:4] != _MAGIC:
-        raise ValueError("not a WCPM media blob")
+        raise ValueError("not a WCPM media blob or PNG")
     m, w, h, dur = struct.unpack("<BIII", blob[4:17])
     return _MTYPES.get(m, "unknown"), w, h, dur
 
@@ -60,11 +73,13 @@ def _parse_header(blob: bytes) -> tuple[str, int, int, int]:
 def decode_metadata(media: DataFrame, blob_col: str = "media") -> DataFrame:
     """mapInPandas decode: binary → typed metadata struct columns.
 
-    Real backend would do PIL.Image.open / av.open here; the fake backend reads
-    the self-describing header. Batch shape and output schema are identical.
+    PNG blobs are parsed for REAL (stdlib IHDR decode, functions.png); WCPM
+    synthetic blobs read the self-describing header (a real backend would do
+    PIL.Image.open / av.open for JPEG/audio/video). Batch shape and output
+    schema are identical either way.
     """
     if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real media decode needs PIL/av — not in this container")
+        raise NotImplementedError("real non-PNG media decode needs PIL/av — not in this container")
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
     out_schema += ", " + MEDIA_META_SCHEMA
@@ -86,14 +101,23 @@ def decode_metadata(media: DataFrame, blob_col: str = "media") -> DataFrame:
 def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: binary → array<float> embedding.
 
-    Real backend: CNN/CLIP encoder batch inference. Fake backend: seeded
-    projection of the payload bytes — deterministic, unit-norm, real schema.
+    PNG blobs get REAL features: decoded luminance pooled to a grid
+    (nearest-resample to ⌈√dim⌉², first `dim` cells, unit-norm) — the
+    classical pre-CNN image descriptor, computed from actual pixels. Other
+    blobs: fake backend = seeded projection of the payload bytes
+    (deterministic, unit-norm, real schema); real backend would run CNN/CLIP
+    batch inference here.
     """
     if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real feature extraction needs a model runtime")
+        raise NotImplementedError("real non-PNG feature extraction needs a model runtime")
+
+    import math
+
+    from web_crawling_prj_spark.functions.png import PNG_MAGIC, png_decode, resize_nearest
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
-    out_schema += f", feature array<float>"
+    out_schema += ", feature array<float>"
+    grid = math.ceil(math.sqrt(dim))
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(SEED_FEATURES)
@@ -101,10 +125,18 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
         for pdf in it:
             feats = []
             for b in pdf[blob_col]:
-                raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
-                if len(raw) < 64:
-                    raw = np.pad(raw, (0, 64 - len(raw)))
-                v = raw @ proj
+                if b[:8] == PNG_MAGIC:
+                    img = png_decode(bytes(b)).astype(np.float64)
+                    if img.ndim == 3:
+                        img = img.mean(axis=2)  # luminance
+                    v = resize_nearest(img, grid).reshape(-1)[:dim]
+                    if len(v) < dim:
+                        v = np.pad(v, (0, dim - len(v)))
+                else:
+                    raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
+                    if len(raw) < 64:
+                        raw = np.pad(raw, (0, 64 - len(raw)))
+                    v = raw @ proj
                 n = np.linalg.norm(v)
                 feats.append([float(x) for x in (v / n if n else v)])
             yield pdf.assign(feature=feats)
@@ -116,10 +148,19 @@ SEED_FEATURES = 42
 
 
 def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256) -> DataFrame:
-    """Resize stub: fake backend rewrites the header dims clamped to max_side
-    preserving aspect ratio (the real kernel would re-encode pixels)."""
+    """Aspect-preserving downscale to max_side. PNG blobs take the REAL path:
+    stdlib decode → nearest-neighbor resample → re-encode (functions.png).
+    WCPM synthetic blobs rewrite the self-describing header dims (the fake
+    backend's stand-in for a JPEG/etc. re-encode)."""
     if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real resize needs PIL")
+        raise NotImplementedError("real non-PNG resize needs PIL")
+
+    from web_crawling_prj_spark.functions.png import (
+        PNG_MAGIC,
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
 
@@ -127,6 +168,9 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
         for pdf in it:
             out = []
             for b in pdf[blob_col]:
+                if b[:8] == PNG_MAGIC:  # real pixels, real resample
+                    out.append(png_encode(resize_nearest(png_decode(bytes(b)), max_side)))
+                    continue
                 mt, w, h, dur = _parse_header(b)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
