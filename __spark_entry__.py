@@ -505,12 +505,21 @@ def q_rollup_order_counts(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    """Transitive near-dup clusters: minhash pairs → connected components →
-    component sizes (iterative algorithm; rows-only check)."""
+    """Transitive near-dup clusters: winnowing overlap pairs → connected
+    components (iterative min-label propagation) → component sizes.
+
+    The pair tier is the value-exact winnowing twin (same op as
+    `winnowing_overlap`), so the WHOLE pipeline has a DuckDB oracle: the same
+    pair SQL + a WITH RECURSIVE reachability closure + min-label grouping.
+    The minhash-pair variant of the same operator stays golden-tested in
+    tests/test_query_goldens.py (union-find reference)."""
     from web_crawling_prj_spark.operators.graph import connected_components
+    from web_crawling_prj_spark.operators.textdedup import winnowing_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(d, jaccard_threshold=0.5)
+    # min_shared=40: at 8 the boilerplate chains the whole corpus into one
+    # mega-component; 40 shared fingerprints = genuine substantial overlap
+    pairs = winnowing_overlap_pairs(d, min_shared=40)
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")
@@ -667,13 +676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "run_summary": q_run_summary,
         "rollup_order_counts": q_rollup_order_counts,
+        "dedup_components": q_dedup_components,  # oracle: winnowing twin + recursive closure
         # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
-        "dedup_components": q_dedup_components,
         "pagerank_hosts": q_pagerank_hosts,
         "frontier_cardinality": q_frontier_cardinality,
         "crawl_rounds": q_crawl_rounds,
@@ -944,6 +953,32 @@ nfp AS (SELECT id AS rep_id, CAST(len(fps) AS BIGINT) AS n FROM w),
 intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b, nfp.n AS shared_fps
           FROM docs_rep dr JOIN nfp USING (rep_id) WHERE dr.doc_id != dr.rep_id)
 SELECT * FROM pairs UNION ALL SELECT * FROM intra
+""",
+        "dedup_components": r"""
+WITH RECURSIVE rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+docs_rep AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
+n AS (SELECT rep_id AS id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM rep),
+g AS (SELECT id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                i -> md5(substr(t, CAST(i AS INT), 8))) AS grams FROM n),
+w AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                               j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g),
+fp AS (SELECT id, unnest(fps) AS fp FROM w),
+capped AS (SELECT id, fp FROM (SELECT id, fp, row_number() OVER (PARTITION BY fp ORDER BY id) AS bn FROM fp) WHERE bn <= 256),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY a.id, b.id HAVING count(*) >= 40),
+intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b
+          FROM docs_rep dr WHERE dr.doc_id != dr.rep_id),
+allp AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM intra),
+edges AS (SELECT id_a AS a, id_b AS b FROM allp UNION SELECT id_b AS a, id_a AS b FROM allp),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size, min(node) AS keep_id
+FROM lab GROUP BY component
 """,
         "exact_dup_flags": """
 WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)

@@ -110,7 +110,13 @@ def bench_frontier_core(spark, n: int, n_salts: int = 16, budget: int = 100, use
 
 
 def bench_frontier_core_bucketed(
-    spark, n: int, n_salts: int = 16, budget: int = 100, num_buckets: int = 32, runs: int = 5
+    spark,
+    n: int,
+    n_salts: int = 16,
+    budget: int = 100,
+    num_buckets: int = 32,
+    runs: int = 5,
+    schedule: bool = True,
 ) -> dict:
     """Steady-state frontier core on the ROUND-3 layout: frontier and seen-set
     stored as bucketed+sorted tables on url_hash (what crawl_store maintains
@@ -151,8 +157,15 @@ def bench_frontier_core_bucketed(
             pending = spark.table("bench_fr_bkt").join(
                 spark.table("bench_seen_bkt"), "url_hash", "left_anti"
             )
-            scheduled = schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
-            n_sched = scheduled.count()
+            # schedule=False isolates the shuffle-free dedup stage for the
+            # per-stage scaling accounting: full-core minus this is exactly
+            # the politeness rank's two designed exchanges
+            out = (
+                schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
+                if schedule
+                else pending
+            )
+            n_sched = out.count()
             walls.append(round(time.time() - t0, 3))
     finally:
         spark.sql("DROP TABLE IF EXISTS bench_fr_bkt")
@@ -189,6 +202,9 @@ def _scaling_child(cores: int, n: int) -> None:
     # the headline scaling workload is the BUCKETED steady-state core — the
     # layout the crawl actually maintains (round 3); best-of-5 inside
     res = bench_frontier_core_bucketed(spark, n, runs=5)
+    # per-stage accounting: the dedup stage alone (zero-exchange merge join)
+    # vs the full core — the difference is the politeness rank's exchanges
+    res["dedup_only"] = bench_frontier_core_bucketed(spark, n, runs=5, schedule=False)
     # legacy exchange-bound core kept for round-over-round comparability
     legacy = [bench_frontier_core(spark, n) for _ in range(3)]
     res["unbucketed"] = min(legacy, key=lambda r: r["wall_s"])
@@ -231,6 +247,10 @@ def run_scaling(n: int, levels=(8, 32)) -> dict:
         if "unbucketed" in results[lo] and "unbucketed" in results[hi]:
             results["scaling_efficiency_unbucketed"] = round(
                 results[hi]["unbucketed"]["rate"] / (results[lo]["unbucketed"]["rate"] * ratio), 4
+            )
+        if "dedup_only" in results[lo] and "dedup_only" in results[hi]:
+            results["scaling_efficiency_dedup_only"] = round(
+                results[hi]["dedup_only"]["rate"] / (results[lo]["dedup_only"]["rate"] * ratio), 4
             )
         if results[lo].get("cpu_calib_s") and results[hi].get("cpu_calib_s"):
             results["cpu_ceiling_efficiency"] = round(

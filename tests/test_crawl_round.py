@@ -377,3 +377,30 @@ def test_bucketed_tables_reregister_in_fresh_catalog(spark, tmp_path, crawl_inpu
 
     stats = run_round(spark, store2, pages, robots, 3, cfg)
     assert stats["scheduled"] > 0
+
+
+def test_run_artifact_matches_committed_tables(spark, tmp_path, crawl_inputs):
+    """The rendered per-round report artifact (md + json next to the manifest)
+    carries EXACTLY the committed run_report / metrics numbers."""
+    import json
+    import os
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = crawl_store(str(tmp_path / "art"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    for r in (1, 2):
+        jpath = os.path.join(store.root, "_manifests", f"{r:06d}.report.json")
+        mpath = os.path.join(store.root, "_manifests", f"{r:06d}.report.md")
+        assert os.path.exists(jpath) and os.path.exists(mpath)
+        with open(jpath) as f:
+            art = json.load(f)
+        rep = store.read_round(spark, "run_report", r).first().asDict()
+        for k, v in rep.items():
+            assert art[k] == v, (k, art[k], v)
+        m = {x["bucket"]: x for x in art["per_bucket"]}
+        for row in store.read_round(spark, "metrics", r).collect():
+            assert m[row.bucket]["scheduled_cnt"] == row.scheduled_cnt
+            assert m[row.bucket]["failed_cnt"] == row.failed_cnt
+        md = open(mpath).read()
+        assert f"scheduled: {rep['scheduled']}" in md
+        assert ("RUN FAILED" in md) == rep["run_failed"]

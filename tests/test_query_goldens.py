@@ -39,13 +39,14 @@ class UnionFind:
 
 
 def test_dedup_components_golden_union_find(spark, sf_dir):
-    """Query `dedup_components`: cluster ids/sizes equal a pure-Python
-    union-find over the same minhash pair list."""
-    from web_crawling_prj_spark.operators.textdedup import minhash_candidate_pairs
+    """Query `dedup_components` (winnowing pair source, now also DuckDB-
+    oracled): cluster ids/sizes equal a pure-Python union-find over the same
+    pair list. The minhash pair source drives the same operator below."""
+    from web_crawling_prj_spark.operators.textdedup import winnowing_overlap_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = [(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs, jaccard_threshold=0.5).collect()]
-    assert pairs, "fixture corpus must contain near-dups"
+    pairs = [(r.id_a, r.id_b) for r in winnowing_overlap_pairs(docs, min_shared=40).collect()]
+    assert pairs, "fixture corpus must contain overlapping docs"
     uf = UnionFind()
     for a, b in pairs:
         uf.union(a, b)
@@ -56,6 +57,24 @@ def test_dedup_components_golden_union_find(spark, sf_dir):
 
     got_rows = entry.queries()["dedup_components"](spark, sf_dir).collect()
     got = {(r.component, r.cluster_size, r.keep_id) for r in got_rows}
+    assert got == expected
+
+
+def test_dedup_components_minhash_source_union_find(spark, sf_dir):
+    """Same connected-components operator over the MINHASH pair tier (not
+    SQL-expressible, so golden-only): equals union-find on the same pairs."""
+    from web_crawling_prj_spark.operators.graph import connected_components
+    from web_crawling_prj_spark.operators.textdedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pair_df = minhash_candidate_pairs(docs, jaccard_threshold=0.5)
+    pairs = [(r.id_a, r.id_b) for r in pair_df.collect()]
+    assert pairs, "fixture corpus must contain near-dups"
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    expected = {(n, uf.find(n)) for n in list(uf.parent)}
+    got = {(r.node, r.component) for r in connected_components(pair_df).collect()}
     assert got == expected
 
 

@@ -432,6 +432,12 @@ def _run_round(
         merged = merge_blooms(bloom, delta) if bloom is not None else delta
         store.save_bloom(round_id, bloom_to_bytes(merged))
 
+    # render the human-readable run artifact (reference Teams card analog) —
+    # post-commit sidecar, numbers read back from the committed tables only
+    from web_crawling_prj_spark.plans.reports import render_run_artifact
+
+    render_run_artifact(spark, store, round_id)
+
     # summarize from the COMMITTED metrics parquet — no recompute of the DAG
     committed_metrics = store.read_round(spark, "metrics", round_id)
     summary = {

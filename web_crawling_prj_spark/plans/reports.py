@@ -62,6 +62,58 @@ def run_summary(metrics: DataFrame, fail_threshold_ratio: float = 0.5) -> DataFr
     )
 
 
+def render_run_artifact(spark, store, round_id: int) -> str:
+    """Render the per-round run report as human-readable artifacts next to the
+    manifest: ``_manifests/NNNNNN.report.md`` + ``.report.json``.
+
+    The reference renders the same fields into a Teams adaptive card
+    (services/notification_handler.py:12-116: run title, totals, success rate,
+    failure flag, per-section counts); here the artifact is a file a human (or
+    the next tool) reads straight out of the state store. Every number comes
+    from the COMMITTED run_report / metrics tables — nothing is recomputed, so
+    the artifact can never disagree with the store.
+
+    Returns the markdown path. Written AFTER the commit point (like the bloom
+    sidecar): a kill in between loses only the rendering, never state; the
+    next render call reproduces it from the same committed tables.
+    """
+    import json as _json
+    import os
+
+    rep = store.read_round(spark, "run_report", round_id).first()
+    per_bucket = [
+        r.asDict() for r in store.read_round(spark, "metrics", round_id).orderBy("bucket").collect()
+    ]
+    meta = store.manifest(round_id)
+    payload = {**rep.asDict(), "round_ts": meta.get("round_ts"), "per_bucket": per_bucket}
+    base = os.path.join(store.root, "_manifests", f"{round_id:06d}.report")
+    with open(base + ".json", "w") as f:
+        _json.dump(payload, f, indent=2, default=str)
+
+    status = "❌ RUN FAILED" if rep["run_failed"] else "✅ ok"
+    lines = [
+        f"# Crawl round {round_id} — {status}",
+        "",
+        f"- round_ts: {meta.get('round_ts')}",
+        f"- scheduled: {rep['scheduled']}",
+        f"- ok: {rep['ok']}",
+        f"- failed: {rep['failed']}",
+        f"- retried: {rep['retried']}",
+        f"- success_rate_pct: {rep['success_rate_pct']}",
+        "",
+        "| bucket | scheduled | ok | failed | retried |",
+        "|---|---|---|---|---|",
+    ]
+    for b in per_bucket:
+        lines.append(
+            f"| {b['bucket']} | {b['scheduled_cnt']} | {b['fetched_ok_cnt']} "
+            f"| {b['failed_cnt']} | {b['retried_cnt']} |"
+        )
+    with open(base + ".md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return base + ".md"
+
+
 @dataclass
 class ReportJob:
     report_id: str
