@@ -114,3 +114,45 @@ def test_new_reviews_lag_query(spark):
     ).withColumn("created_at", F.col("created_at").cast("timestamp"))
     got = {r.display_sku: r.new_review_count for r in new_reviews_query(hist).collect()}
     assert got == {"s1": 5, "s2": 7}
+
+
+def test_scd2_table_path_parity_with_functional(spark):
+    """scd2_apply_batch_table (MERGE INTO where supported, stage-and-rename
+    rewrite fallback here — no Iceberg jars) leaves EXACTLY the rows the pure
+    functional scd2_apply_batch chain produces, batch after batch."""
+    from web_crawling_prj_spark.operators.scd2 import (
+        scd2_apply_batch,
+        scd2_apply_batch_table,
+        scd2_merge_sql,
+    )
+
+    tbl = "scd2_parity_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "sku long, title string, price double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a", 11.5), (2, "b", 20.0), (3, "c", 30.0)],
+        "sku long, title string, price double",
+    )
+    args = dict(primary_key=["sku"], hash_cols=["title", "price"], from_src="t")
+    mode1 = scd2_apply_batch_table(spark, tbl, b1, load_ts="2025-01-01 00:00:00", **args)
+    mode2 = scd2_apply_batch_table(spark, tbl, b2, load_ts="2025-01-02 00:00:00", **args)
+    assert mode1 == "create"
+    assert mode2 in ("merge", "rewrite")  # merge iff a row-level catalog is present
+
+    func = scd2_apply_batch(None, b1, load_ts="2025-01-01 00:00:00", **args)
+    func = scd2_apply_batch(func, b2, load_ts="2025-01-02 00:00:00", **args)
+    got = spark.table(tbl)
+    assert got.exceptAll(func).count() == 0 and func.exceptAll(got).count() == 0
+    # sku 1 changed → closed v1 + open v2; sku 3 new → v1
+    rows = {(r.sku, r.row_version_number): r for r in got.collect()}
+    assert rows[(1, 1)].row_is_latest is False and rows[(1, 2)].row_is_latest is True
+    assert rows[(3, 1)].row_is_latest is True and len(rows) == 4
+
+    # the composed MERGE carries the SCD2 clauses an Iceberg/Delta engine runs
+    sql = scd2_merge_sql(tbl, "_b", ["sku"], "2025-01-02 00:00:00")
+    for marker in ("MERGE INTO", "WHEN MATCHED AND t.hash_key <> s.hash_key",
+                   "WHEN NOT MATCHED THEN INSERT", "UNION ALL", "row_version_number + 1"):
+        assert marker in sql, sql
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
