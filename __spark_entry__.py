@@ -383,6 +383,49 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Training-data quality filter (Gopher/C4): per-doc duplicate word-bigram
+    fraction — high repetition flags boilerplate/spam. Native HOFs."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.word_bigram_repetition("text").alias("bigram_rep"))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Training-data scrub: count + redact emails/phone-like spans. The text
+    is augmented with deterministic synthetic PII (same arithmetic in the
+    oracle) so the redactor provably fires; output hashes the redacted text."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    e, p = T.count_pii(aug)
+    return d.select(
+        "doc_id",
+        e.alias("n_emails"),
+        p.alias("n_phones"),
+        F.md5(T.redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
+def q_terminal_punct(spark, sf_dir):
+    """C4 line-quality signal: fraction of non-blank lines ending in . ! ?
+    The synthetic corpus has NO sentence-final punctuation (every doc would
+    score 0 — a degenerate oracle), so the query appends one punctuated and
+    one bare line deterministically in BOTH engines; the ratio then varies
+    with each doc's own line count."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.expr("repeat('\\nA generated closing sentence.', 1 + cast(doc_id % 3 as int))"),
+        F.lit("\ntrailing fragment"),
+    )
+    return d.select("doc_id", T.terminal_punct_ratio(aug).alias("punct_line_ratio"))
+
+
 def q_quality_scores(spark, sf_dir):
     """Text analysis: doc quality heuristic (length/alpha/stopword bands)."""
     d = _t(spark, sf_dir, "documents")
@@ -665,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md5_business_key": q_md5_business_key,
         "json_props_extract": q_json_props_extract,
         "token_counts": q_token_counts,
+        "repetition_scores": q_repetition_scores,
+        "pii_redaction": q_pii_redaction,
+        "terminal_punct": q_terminal_punct,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "docs_by_lang": q_docs_by_lang,
@@ -888,6 +934,51 @@ SELECT doc_id,
        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
 FROM documents
+""",
+        "repetition_scores": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])
+         END AS grams
+  FROM toks)
+SELECT doc_id,
+       CASE WHEN grams IS NULL THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+       END AS bigram_rep
+FROM g
+""",
+        "pii_redaction": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '\+?[0-9][0-9() -]{7,}[0-9]')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                          '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+""",
+        "terminal_punct": r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(text || repeat(chr(10) || 'A generated closing sentence.', 1 + CAST(doc_id % 3 AS INT))
+                                  || chr(10) || 'trailing fragment', chr(10)),
+                     x -> trim(x) <> '') AS nonblank
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(nonblank) > 0
+            THEN round(CAST(len(list_filter(nonblank, x -> regexp_matches(trim(x), '[.!?]$'))) AS DOUBLE)
+                       / len(nonblank), 6)
+            ELSE 0.0 END AS punct_line_ratio
+FROM l
 """,
         "quality_scores": r"""
 WITH m AS (

@@ -404,3 +404,28 @@ def test_run_artifact_matches_committed_tables(spark, tmp_path, crawl_inputs):
         md = open(mpath).read()
         assert f"scheduled: {rep['scheduled']}" in md
         assert ("RUN FAILED" in md) == rep["run_failed"]
+
+
+def test_run_artifact_idle_round(spark, tmp_path, crawl_inputs):
+    """Regression (found by the 30-round drain): a round that schedules
+    NOTHING commits an empty run_report — the artifact must render as an idle
+    round, not crash."""
+    import json
+    import os
+
+    from web_crawling_prj_spark.plans.reports import render_run_artifact
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = crawl_store(str(tmp_path / "idle"), cfg)
+    empty_m = spark.createDataFrame(
+        [], "bucket int, scheduled_cnt long, fetched_ok_cnt long, failed_cnt long, "
+        "retried_cnt long, round_id int",
+    )
+    from web_crawling_prj_spark.plans.reports import run_summary
+
+    store.commit_round(1, {"metrics": empty_m, "run_report": run_summary(empty_m)})
+    path = render_run_artifact(spark, store, 1)
+    assert os.path.exists(path)
+    with open(path.replace(".md", ".json")) as f:
+        art = json.load(f)
+    assert art["scheduled"] == 0 and art["run_failed"] is False and art["per_bucket"] == []

@@ -139,6 +139,61 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_band + alpha_ratio + stop_ratio) / 3.0, 6)
 
 
+def word_bigram_repetition(text: Column | str) -> Column:
+    """Gopher/C4-style repetition score: fraction of duplicate word 2-grams,
+    ``1 − distinct_bigrams / total_bigrams`` (0 for docs under two tokens).
+    High values flag boilerplate/spam for training-data filtering. Native
+    HOFs with the token array bound as a lambda variable (text.py HOF cost
+    model — captures re-evaluate per element)."""
+    toks = F.lower(F.regexp_replace(_c(text), r"[^\p{L}\p{N}]+", " "))
+    toks = F.filter(F.split(F.trim(toks), " "), lambda s: s != F.lit(""))
+
+    def rep(t: Column) -> Column:
+        n = F.size(t) - 1  # bigram count
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+        ratio = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
+        return F.when(n >= 1, F.round(ratio, 6)).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(toks), rep), 1)
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def count_pii(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) — regex counts for the two classic PII families."""
+    t = _c(text)
+    return (
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails then phone-like spans with typed placeholders — the
+    standard pre-training scrub. Pure native regexp_replace (no UDF)."""
+    t = F.regexp_replace(_c(text), PII_EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
+
+
+def terminal_punct_ratio(text: Column | str) -> Column:
+    """C4 line filter signal: fraction of non-blank lines ending in terminal
+    punctuation (., !, ?). 0 for documents with no non-blank lines."""
+    lines = F.split(_c(text), "\n")
+    nonblank = F.filter(lines, lambda x: F.trim(x) != F.lit(""))
+    ended = F.filter(nonblank, lambda x: F.trim(x).rlike(r"[.!?]$"))
+    return F.round(
+        F.when(F.size(nonblank) > 0, F.size(ended) / F.size(nonblank).cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Exact-duplicate fingerprint: xxhash64 of the raw text (native, 64-bit)."""
     return F.xxhash64(_c(text))

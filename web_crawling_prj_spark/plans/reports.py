@@ -80,12 +80,27 @@ def render_run_artifact(spark, store, round_id: int) -> str:
     import json as _json
     import os
 
-    rep = store.read_round(spark, "run_report", round_id).first()
+    rep_row = store.read_round(spark, "run_report", round_id).first()
+    # an idle round (frontier drained / everything deferred) schedules nothing:
+    # the metrics groupBy emits zero rows, so the committed run_report is empty
+    rep = (
+        rep_row.asDict()
+        if rep_row is not None
+        else {
+            "round_id": round_id,
+            "scheduled": 0,
+            "ok": 0,
+            "failed": 0,
+            "retried": 0,
+            "success_rate_pct": 100.0,
+            "run_failed": False,
+        }
+    )
     per_bucket = [
         r.asDict() for r in store.read_round(spark, "metrics", round_id).orderBy("bucket").collect()
     ]
     meta = store.manifest(round_id)
-    payload = {**rep.asDict(), "round_ts": meta.get("round_ts"), "per_bucket": per_bucket}
+    payload = {**rep, "round_ts": meta.get("round_ts"), "per_bucket": per_bucket}
     base = os.path.join(store.root, "_manifests", f"{round_id:06d}.report")
     with open(base + ".json", "w") as f:
         _json.dump(payload, f, indent=2, default=str)
