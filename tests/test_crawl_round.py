@@ -258,11 +258,11 @@ def test_seen_compaction_equivalence_and_path_bound(spark, tmp_path, crawl_input
 
     assert _final_state(a, spark) == _final_state(b, spark)
     assert a.base_upto("seen_delta") == 6  # last multiple of 3 ≤ 8
-    # directory bound: base + deltas 7,8 (+ the empty init round pruned by data)
+    # directory bound (LSM tiers): ≤ max_tiers tier dirs + deltas 7,8
     import os
 
     dirs = {os.path.dirname(f.replace("file:", "")) for f in a.read_all(spark, "seen_delta").inputFiles()}
-    assert len(dirs) <= 3, dirs
+    assert len(dirs) <= 4, dirs
 
     # vacuum reclaims folded dirs without changing the data
     before = a.read_all(spark, "seen_delta").count()
@@ -369,8 +369,8 @@ def test_bucketed_tables_reregister_in_fresh_catalog(spark, tmp_path, crawl_inpu
     assert store2.last_committed_round() == 2
     f = store2.read_round(spark, "frontier", 2)
     assert f.count() == before
-    base, deltas = store2.read_parts(spark, "seen_delta", up_to=2)
-    total = (base.count() if base is not None else 0) + sum(d.count() for d in deltas)
+    bases, deltas = store2.read_parts(spark, "seen_delta", up_to=2)
+    total = sum(b.count() for b in bases) + sum(d.count() for d in deltas)
     assert total == seen_before
     # and round 3 actually runs on the re-registered store
     from web_crawling_prj_spark.plans.crawl_round import run_round
@@ -429,3 +429,42 @@ def test_run_artifact_idle_round(spark, tmp_path, crawl_inputs):
     with open(path.replace(".md", ".json")) as f:
         art = json.load(f)
     assert art["scheduled"] == 0 and art["run_failed"] is False and art["per_bucket"] == []
+
+
+def test_tiered_compaction_minor_never_rewrites_old_tiers(spark, tmp_path, crawl_inputs):
+    """LSM tiering: a MINOR fold writes only the new rounds into a new tier —
+    the existing tier's files are byte-untouched (no O(N) rewrite per fold);
+    a MAJOR fold (tier count > max_tiers) merges everything into one tier.
+    read_all is invariant through all of it."""
+    import dataclasses
+    import os
+
+    pages, robots, seeds, cfg = crawl_inputs
+    c = dataclasses.replace(cfg, compact_every=0)
+    c.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    store = crawl_store(str(tmp_path / "lsm"), c)
+    run_crawl(spark, store, pages, robots, seeds, rounds=6, cfg=c)
+    truth = frozenset(r.url_hash for r in store.read_all(spark, "seen_delta").collect())
+
+    def tier_files(upto):
+        d = store._base_dir("seen_delta", upto)
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    assert store.compact(spark, "seen_delta", up_to=2, max_tiers=2) == 2
+    snap_a = tier_files(2)
+    assert store.compact(spark, "seen_delta", up_to=4, max_tiers=2) == 4  # minor
+    assert [t["upto"] for t in store.tiers("seen_delta")] == [2, 4]
+    assert tier_files(2) == snap_a  # old tier untouched — the LSM property
+    bases, deltas = store.read_parts(spark, "seen_delta", up_to=4)
+    assert len(bases) == 2
+    assert frozenset(r.url_hash for r in store.read_all(spark, "seen_delta").collect()) == truth
+
+    assert store.compact(spark, "seen_delta", up_to=6, max_tiers=2) == 6  # major
+    assert [t["upto"] for t in store.tiers("seen_delta")] == [6]
+    assert not os.path.exists(store._base_dir("seen_delta", 2))  # superseded reclaimed
+    assert not os.path.exists(store._base_dir("seen_delta", 4))
+    assert frozenset(r.url_hash for r in store.read_all(spark, "seen_delta").collect()) == truth
+    # and the crawl keeps running on the tiered store
+    from web_crawling_prj_spark.plans.crawl_round import run_round
+
+    assert run_round(spark, store, pages, robots, 7, c)["scheduled"] >= 0

@@ -80,25 +80,25 @@ def anti_join_seen(
 
 def anti_join_seen_layered(
     frontier: DataFrame,
-    seen_base: DataFrame | None,
-    seen_deltas: list[DataFrame],
+    seen_parts: list[DataFrame],
     key: str = "url_hash",
     bloom: ShardedBloom | None = None,
     bloom_bcast=None,
     spark=None,
 ) -> DataFrame:
-    """Steady-state frontier ∖ seen over the compacted-store layout — the
+    """Steady-state frontier ∖ seen over the tiered-store layout — the
     shuffle-free shape (the 0.67→0.8 scaling fix, VERDICT r2 #1).
 
-    ``seen_base``: the compacted seen-set, stored BUCKETED on `key` with the
-    same bucket count as the frontier (plans.statestore bucket_spec) → the
-    anti-join satisfies both sides' HashPartitioning and needs ZERO exchanges.
-    ``seen_deltas``: the per-round seen tables since the last compaction,
-    CHAINED as successive anti-joins — each is either broadcast (small side)
-    or co-bucketed, and an anti-join preserves the left side's partitioning,
-    so the whole chain keeps the frontier's bucket layout intact and adds no
-    exchange. (A union of the deltas would erase that: Spark's Union reports
-    unknown output partitioning even over co-bucketed children.)
+    ``seen_parts``: the seen-set split the way the store keeps it — the LSM
+    base tiers (oldest→newest) then the per-round deltas since the last fold,
+    each stored BUCKETED on `key` with the same bucket count as the frontier
+    (plans.statestore bucket_spec). They are CHAINED as successive anti-joins:
+    each join satisfies both sides' HashPartitioning (or broadcasts a small
+    side), and an anti-join preserves the left side's partitioning, so the
+    whole chain keeps the frontier's bucket layout intact with ZERO exchanges
+    end to end. (A union of the parts would erase that: Spark's Union reports
+    unknown output partitioning even over co-bucketed children.) Part count is
+    bounded by the store's tiering: ≤ max_tiers + compact_every.
 
     The bloom tier routes provably-unseen rows around every exact join, same
     as :func:`anti_join_seen`; exactness never depends on it.
@@ -111,10 +111,8 @@ def anti_join_seen_layered(
         )
         definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         pending = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    if seen_base is not None:
-        pending = pending.join(seen_base.select(key), key, "left_anti")
-    for delta in seen_deltas:
-        pending = pending.join(delta.select(key), key, "left_anti")
+    for part in seen_parts:
+        pending = pending.join(part.select(key), key, "left_anti")
     if definitely_new is not None:
         pending = definitely_new.unionByName(pending)
     return pending

@@ -185,7 +185,7 @@ def pending_frontier(
     (tests/test_plan_shapes.py pins that on this exact function)."""
     round_ts = cfg.round_ts(round_id)
     frontier = store.read_round(spark, "frontier", round_id - 1)
-    seen_base, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
+    seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
 
     # 0) optional importance re-prioritization from the discovered link graph
     if cfg.pagerank_weight > 0:
@@ -221,7 +221,7 @@ def pending_frontier(
     bloom = None
     bloom_bcast = None  # round-owned broadcast (destroyed in run_round's
     # finally) — a thousand-round crawl must not accumulate bitmaps on executors
-    if seen_base is not None or seen_deltas:
+    if seen_bases or seen_deltas:
         if _use_bloom(store, cfg):
             raw = store.load_bloom(round_id - 1)
             if raw is not None:
@@ -237,7 +237,7 @@ def pending_frontier(
             bloom_bcast = broadcast_bloom(spark, bloom)
             bcasts.append(bloom_bcast)
         pending = anti_join_seen_layered(
-            eligible, seen_base, seen_deltas, bloom=bloom, bloom_bcast=bloom_bcast
+            eligible, [*seen_bases, *seen_deltas], bloom=bloom, bloom_bcast=bloom_bcast
         )
     else:
         pending = eligible

@@ -197,27 +197,52 @@ class StateStore:
         with open(path, "rb") as f:
             return f.read()
 
-    # --- compaction (Iceberg rewrite_data_files analog) ---
+    # --- compaction (Iceberg rewrite_data_files analog, LSM-tiered) ---
     #
     # read_all unions one directory per committed round; at round 10^4 every
     # seen-set scan would list 10^4 dirs and the bloom-rebuild fallback would
-    # rescan all of them. compact() folds everything ≤ up_to into ONE base dir
-    # and atomically swaps a pointer file; read_all then lists
-    # O(1 + rounds since compaction) paths. Old round dirs are left in place
-    # (read_round/audit still work) — vacuum_compacted() reclaims them.
+    # rescan all of them. compact() folds rounds into base TIERS with an
+    # LSM-style size-tiered schedule:
+    #
+    #   MINOR fold (the common case): only the rounds since the newest tier
+    #   are read and written into ONE new tier — O(K·delta) work, never a
+    #   rewrite of the accumulated seen-set. At 10^10 rows, folding the whole
+    #   base every K rounds would be an O(N) rewrite per fold (O(N·R/K) total
+    #   write amplification over an R-round crawl) — the naive single-base
+    #   scheme's hidden scale killer.
+    #   MAJOR fold: when the tier count would exceed ``max_tiers``, all tiers
+    #   + new deltas merge into one tier — amortized, classic size-tiering.
+    #
+    # Read amplification stays bounded: read_all / read_parts list at most
+    # max_tiers tier dirs + the ≤K un-folded round dirs. The pointer file
+    # carries the whole tier list and swaps atomically, so a kill
+    # mid-compaction leaves the previous tier set intact. Old round dirs are
+    # left in place (read_round/audit still work) — vacuum_compacted()
+    # reclaims them.
 
     def _base_pointer_path(self, table: str) -> str:
         return os.path.join(self.root, "_manifests", f"{table}.base.json")
 
-    def base_upto(self, table: str) -> int | None:
+    def tiers(self, table: str) -> list[dict[str, Any]]:
+        """Base tiers, oldest→newest. Legacy single-base pointers read as one
+        tier — stores written by earlier versions keep working unchanged."""
         path = self._base_pointer_path(table)
         if not os.path.exists(path):
-            return None
+            return []
         with open(path) as f:
-            return json.load(f)["upto"]
+            data = json.load(f)
+        return data["tiers"] if "tiers" in data else [data]
+
+    def base_upto(self, table: str) -> int | None:
+        t = self.tiers(table)
+        return t[-1]["upto"] if t else None
 
     def _base_dir(self, table: str, upto: int) -> str:
         return os.path.join(self.root, f"{table}__base", f"upto={upto:06d}")
+
+    @staticmethod
+    def _dir_has_rows(d: str) -> bool:
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
     def compact(
         self,
@@ -226,50 +251,58 @@ class StateStore:
         up_to: int | None = None,
         num_buckets: int | None = None,
         bucket_col: str = "bucket",
+        max_tiers: int = 4,
     ) -> int | None:
-        """Fold base + deltas ≤ up_to into a new base; atomic pointer swap.
-
-        A kill mid-compaction leaves the old pointer in place — the store is
-        never in a half-compacted state. Returns the new base round or None
-        if there is nothing to compact.
-        """
-        rounds = [
+        """Fold the rounds since the newest tier into a base tier (minor), or
+        everything into one tier when ``max_tiers`` would be exceeded (major);
+        atomic pointer swap either way. Returns the new tier's upto round, or
+        None if there is nothing to fold."""
+        cur = self.tiers(table)
+        floor = cur[-1]["upto"] if cur else -1
+        new_rounds = [
             r
             for r in self.committed_rounds()
-            if (up_to is None or r <= up_to) and os.path.exists(self._table_round_dir(table, r))
+            if (up_to is None or r <= up_to) and r > floor and self._round_has_rows(table, r)
         ]
-        prev = self.base_upto(table)
-        if not rounds or (prev is not None and max(rounds) <= prev):
+        if not new_rounds:
             return None
-        upto = max(rounds)
-        df = self.read_all(spark, table, up_to=upto)
-        if df is None:  # every round in range wrote zero rows
-            return None
+        upto = max(new_rounds)
+        major = len(cur) + 1 > max_tiers
+        if major:
+            df = self.read_all(spark, table, up_to=upto)  # all tiers + new deltas
+        else:
+            paths = [self._table_round_dir(table, r) for r in new_rounds]
+            df = spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
         new_dir = self._base_dir(table, upto)
-        pointer: dict[str, Any] = {"table": table, "upto": upto}
+        tier: dict[str, Any] = {"upto": upto}
         if table in self.bucket_spec:
-            # the base IS the bucketed seen-set layout: one repartition on the
-            # key per compaction buys every subsequent round a shuffle-free
+            # every tier carries the bucketed seen-set layout: one repartition
+            # on the key per fold buys every subsequent round a shuffle-free
             # anti-join against it
             col, n = self.bucket_spec[table]
-            bmeta = self._write_bucketed(
-                df.repartition(n, col), table, new_dir, self._base_tbl_name(table, upto)
+            tier.update(
+                self._write_bucketed(
+                    df.repartition(n, col), table, new_dir, self._base_tbl_name(table, upto)
+                )
             )
-            pointer.update(bmeta)
         else:
             if num_buckets and bucket_col in df.columns:
                 df = df.repartition(num_buckets, bucket_col)  # keep the join layout
             if os.path.exists(new_dir):
                 shutil.rmtree(new_dir)
             df.write.mode("overwrite").parquet(new_dir)
+        new_tiers = [tier] if major else [*cur, tier]
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump(pointer, f)
+            json.dump({"table": table, "tiers": new_tiers}, f)
         os.rename(tmp, self._base_pointer_path(table))  # atomic publish
-        if prev is not None and os.path.exists(self._base_dir(table, prev)):
-            shutil.rmtree(self._base_dir(table, prev))  # superseded base
-        if prev is not None and table in self.bucket_spec:
-            spark.sql(f"DROP TABLE IF EXISTS {self._base_tbl_name(table, prev)}")
+        if major:  # superseded tiers: reclaim dirs + catalog entries
+            for t in cur:
+                d = self._base_dir(table, t["upto"])
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+                if table in self.bucket_spec:
+                    spark.sql(f"DROP TABLE IF EXISTS {self._base_tbl_name(table, t['upto'])}")
         return upto
 
     def vacuum_compacted(self, table: str, spark: SparkSession | None = None) -> int:
@@ -314,36 +347,35 @@ class StateStore:
 
     def read_parts(
         self, spark: SparkSession, table: str, up_to: int | None = None
-    ) -> tuple[DataFrame | None, list[DataFrame]]:
-        """Layout-aware split read: (compacted base, [per-round deltas]).
+    ) -> tuple[list[DataFrame], list[DataFrame]]:
+        """Layout-aware split read: ([base tiers, oldest→newest],
+        [per-round deltas]).
 
         For bucketed tables every part is a catalog read carrying the bucket
-        layout, so a caller can CHAIN anti-joins against base then each delta
-        with zero exchanges (a union would erase the partitioning — Spark's
-        Union node reports unknown output partitioning even over co-bucketed
-        children). For plain tables: base dir read + ONE multi-path delta scan
-        (same data `read_all` returns, split at the compaction floor).
+        layout, so a caller can CHAIN anti-joins against each tier then each
+        delta with zero exchanges (a union would erase the partitioning —
+        Spark's Union node reports unknown output partitioning even over
+        co-bucketed children). For plain tables: per-tier dir reads + ONE
+        multi-path delta scan (same data `read_all` returns, split at the
+        compaction floor). Part count is bounded: ≤ max_tiers + K.
         """
         rounds = self.committed_rounds()
         if up_to is not None:
             rounds = [r for r in rounds if r <= up_to]
-        base = self.base_upto(table)
-        base_df = None
-        floor = -1
-        if base is not None and (up_to is None or base <= up_to):
-            floor = base
+        usable = [t for t in self.tiers(table) if up_to is None or t["upto"] <= up_to]
+        floor = usable[-1]["upto"] if usable else -1
+        bases = []
+        for t in usable:
+            d = self._base_dir(table, t["upto"])
+            if not self._dir_has_rows(d):
+                continue  # tier folded only empty rounds
             if table in self.bucket_spec:
-                bp = self._base_pointer(table)
-                tbl = self._base_tbl_name(table, base)
-                self._ensure_registered(spark, tbl, self._base_dir(table, base), bp)
-                base_df = spark.table(tbl)
+                tbl = self._base_tbl_name(table, t["upto"])
+                self._ensure_registered(spark, tbl, d, t)
+                bases.append(spark.table(tbl))
             else:
-                base_df = spark.read.parquet(self._base_dir(table, base))
-        delta_rounds = [
-            r
-            for r in rounds
-            if r > floor and self._round_has_rows(table, r)
-        ]
+                bases.append(spark.read.parquet(d))
+        delta_rounds = [r for r in rounds if r > floor and self._round_has_rows(table, r)]
         if table in self.bucket_spec:
             deltas = [self.read_round(spark, table, r) for r in delta_rounds]
         else:
@@ -353,7 +385,7 @@ class StateStore:
                 if paths
                 else []
             )
-        return base_df, deltas
+        return bases, deltas
 
     def _round_has_rows(self, table: str, round_id: int) -> bool:
         """True iff the round wrote this table with ≥1 data file (bucketed
@@ -361,55 +393,54 @@ class StateStore:
         d = self._table_round_dir(table, round_id)
         return os.path.exists(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
-    def _base_pointer(self, table: str) -> dict[str, Any]:
-        with open(self._base_pointer_path(table)) as f:
-            return json.load(f)
-
     def read_all(self, spark: SparkSession, table: str, up_to: int | None = None) -> DataFrame | None:
         """Union of a table across all committed rounds (e.g. the full seen-set).
 
-        Compaction-aware: reads the base (if its upto ≤ requested) plus only
-        the round deltas after it — O(1 + K) paths, not O(rounds). Deltas go
-        through one multi-path parquet scan → a single job with partition
-        pruning by directory, not N sequential reads.
+        Compaction-aware: reads the base tiers whose upto ≤ requested plus
+        only the round deltas after them — ≤ max_tiers + K paths, not
+        O(rounds). Deltas go through one multi-path parquet scan → a single
+        job with partition pruning by directory, not N sequential reads.
+        A historical read (up_to below the newest tier) uses the largest
+        usable tier prefix and the surviving round dirs; it raises if the
+        needed rounds were folded deeper and vacuumed.
         """
         rounds = self.committed_rounds()
         if up_to is not None:
             rounds = [r for r in rounds if r <= up_to]
-        base = self.base_upto(table)
-        base_df = None
-        floor = -1
-        if base is not None and (up_to is None or base <= up_to):
-            floor = base
-            bdir = self._base_dir(table, base)
-            if any(f.endswith(".parquet") for f in os.listdir(bdir)):
-                base_df = spark.read.parquet(bdir)
-            # else: base folded only empty rounds — no files, nothing to read
-        elif base is not None:
-            # historical read below the base: only valid while the folded
-            # per-round dirs still exist (i.e. before vacuum_compacted)
-            missing = [
-                r
-                for r in rounds
-                if r <= base and not os.path.exists(self._table_round_dir(table, r))
-            ]
-            if missing:
-                raise ValueError(
-                    f"{table}: rounds {missing} were compacted into base upto={base} "
-                    f"and vacuumed; read_all(up_to={up_to}) cannot reconstruct history"
-                )
+        usable = [t for t in self.tiers(table) if up_to is None or t["upto"] <= up_to]
+        floor = usable[-1]["upto"] if usable else -1
+        # rounds past the usable tiers must still have their dirs — but only
+        # rounds whose MANIFEST says they wrote this table (a round that never
+        # wrote it legitimately has no dir; a vacuumed one did and doesn't)
+        missing = [
+            r
+            for r in rounds
+            if r > floor
+            and table in self.manifest(r).get("tables", [])
+            and not os.path.exists(self._table_round_dir(table, r))
+        ]
+        if missing:
+            raise ValueError(
+                f"{table}: rounds {missing} were compacted into a tier beyond "
+                f"up_to={up_to} and vacuumed; read_all cannot reconstruct history"
+            )
+        parts = [
+            spark.read.parquet(self._base_dir(table, t["upto"]))
+            for t in usable
+            if self._dir_has_rows(self._base_dir(table, t["upto"]))
+        ]
         paths = [
             self._table_round_dir(table, r)
             for r in rounds
             if r > floor and self._round_has_rows(table, r)
         ]
-        delta_df = (
-            spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
-            if paths
-            else None
-        )
-        if base_df is None:
-            return delta_df
-        if delta_df is None:
-            return base_df
-        return base_df.unionByName(delta_df)
+        if paths:
+            parts.append(
+                spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
