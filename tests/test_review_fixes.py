@@ -177,3 +177,67 @@ def test_components_nonconvergence_raises(spark):
         connected_components(chain, max_iter=2)
     comp = connected_components(chain, max_iter=20)
     assert comp.select("component").distinct().count() == 1
+
+
+# --- round-3 self-review fixes ---
+
+
+def test_png_truncated_raises_valueerror():
+    """Truncation inside a chunk raises the module's ValueError contract,
+    never a bare struct.error."""
+    import pytest
+
+    from web_crawling_prj_spark.functions.png import png_decode, png_encode
+    import numpy as np
+
+    blob = png_encode(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        png_decode(blob[:-6])  # cut inside IEND's CRC
+
+
+def test_png_path_is_backend_independent(spark):
+    """DECODE_BACKEND='real' must NOT break PNG datasets (the stdlib path
+    needs no missing dependency); non-PNG blobs under 'real' raise per blob."""
+    import numpy as np
+    import pytest
+
+    from web_crawling_prj_spark.functions.png import png_encode
+    from web_crawling_prj_spark.operators import multimodal as mm
+
+    png_df = spark.createDataFrame(
+        [(0, bytearray(png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))))],
+        "doc_id long, media binary",
+    )
+    wcpm_df = spark.createDataFrame([(1, 0)], "doc_id long, mtype int").withColumn(
+        "media", mm.synth_media_udf("doc_id", "mtype")
+    ).drop("mtype")
+    old = mm.DECODE_BACKEND
+    try:
+        mm.DECODE_BACKEND = "real"
+        rows = mm.decode_metadata(png_df).collect()
+        assert rows[0].media_type == "image" and rows[0].width == 8
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            mm.decode_metadata(wcpm_df).collect()
+    finally:
+        mm.DECODE_BACKEND = old
+
+
+def test_read_parts_raises_on_vacuumed_history(spark, tmp_path):
+    """read_parts must refuse to reconstruct a historical seen-set whose
+    rounds were folded into a deeper tier and vacuumed — a silently
+    incomplete seen-set would re-schedule fetched URLs."""
+    import pytest
+
+    from web_crawling_prj_spark.plans.statestore import StateStore
+
+    store = StateStore(str(tmp_path / "hist"))
+    for r in range(4):
+        df = spark.range(5).selectExpr(f"id + {r * 10} as url_hash")
+        store.commit_round(r, {"seen_delta": df})
+    store.compact(spark, "seen_delta", up_to=3)
+    store.vacuum_compacted("seen_delta")
+    with pytest.raises(ValueError, match="cannot reconstruct"):
+        store.read_parts(spark, "seen_delta", up_to=1)
+    # at-or-past the tier: fine
+    bases, deltas = store.read_parts(spark, "seen_delta", up_to=3)
+    assert sum(b.count() for b in bases) == 20 and deltas == []

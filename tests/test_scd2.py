@@ -150,9 +150,25 @@ def test_scd2_table_path_parity_with_functional(spark):
     assert rows[(1, 1)].row_is_latest is False and rows[(1, 2)].row_is_latest is True
     assert rows[(3, 1)].row_is_latest is True and len(rows) == 4
 
-    # the composed MERGE carries the SCD2 clauses an Iceberg/Delta engine runs
-    sql = scd2_merge_sql(tbl, "_b", ["sku"], "2025-01-02 00:00:00")
-    for marker in ("MERGE INTO", "WHEN MATCHED AND t.hash_key <> s.hash_key",
-                   "WHEN NOT MATCHED THEN INSERT", "UNION ALL", "row_version_number + 1"):
+    # the composed MERGE carries the SCD2 clauses an Iceberg/Delta engine runs:
+    # typed null join keys, explicit INSERT list (no helper columns), bumped
+    # version + load_ts start date for re-emitted changed rows
+    cols = [
+        ("sku", "string"), ("title", "string"), ("price", "double"),
+        ("hash_key", "string"), ("row_start_date", "timestamp"),
+        ("row_version_number", "int"), ("modified_at", "timestamp"),
+    ]
+    sql = scd2_merge_sql(tbl, "_b", ["sku"], "2025-01-02 00:00:00", cols)
+    for marker in (
+        "MERGE INTO",
+        "WHEN MATCHED AND t.hash_key <> s.hash_key",
+        "UNION ALL",
+        "row_version_number + 1",
+        "CAST(NULL AS string) AS _join_sku",  # pk type from the batch schema
+        "WHEN NOT MATCHED THEN INSERT (sku, title, price, hash_key, row_start_date, row_version_number, modified_at)",
+        "s._new_version",
+        "CASE WHEN s._new_version = 1 THEN s.row_start_date ELSE TIMESTAMP '2025-01-02 00:00:00' END",
+    ):
         assert marker in sql, sql
+    assert "_join_" not in sql.split("VALUES")[1], sql  # helpers never inserted
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")

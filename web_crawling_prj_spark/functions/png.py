@@ -41,6 +41,8 @@ def _chunks(data: bytes):
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):  # payload/CRC run past the blob
+            raise ValueError(f"truncated PNG inside chunk {ctype!r}")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:

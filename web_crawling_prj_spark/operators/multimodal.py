@@ -58,12 +58,19 @@ def synth_media_udf(doc_id: pd.Series, mtype: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def _parse_header(blob: bytes) -> tuple[str, int, int, int]:
+def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, int]:
     from web_crawling_prj_spark.functions.png import PNG_MAGIC, decode_ihdr
 
     if blob is not None and blob[:8] == PNG_MAGIC:  # real image: stdlib parse
         w, h, _, _ = decode_ihdr(bytes(blob))
         return "image", w, h, 0
+    # non-PNG: the backend gate applies PER BLOB, so PNG datasets stay fully
+    # functional under any backend setting (module docstring contract).
+    # `backend` is CAPTURED on the driver at operator construction — Python
+    # workers re-import this module, so reading the global here would always
+    # see the default, never the caller's setting.
+    if backend != "fake":
+        raise NotImplementedError("real non-PNG media decode needs PIL/av — not in this container")
     if blob is None or len(blob) < 17 or blob[:4] != _MAGIC:
         raise ValueError("not a WCPM media blob or PNG")
     m, w, h, dur = struct.unpack("<BIII", blob[4:17])
@@ -78,15 +85,14 @@ def decode_metadata(media: DataFrame, blob_col: str = "media") -> DataFrame:
     PIL.Image.open / av.open for JPEG/audio/video). Batch shape and output
     schema are identical either way.
     """
-    if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real non-PNG media decode needs PIL/av — not in this container")
-
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
     out_schema += ", " + MEDIA_META_SCHEMA
 
+    backend = DECODE_BACKEND  # driver-side capture, closed over into workers
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [_parse_header(b) for b in pdf[blob_col]]
+            metas = [_parse_header(b, backend) for b in pdf[blob_col]]
             yield pdf.assign(
                 media_type=[m[0] for m in metas],
                 width=pd.array([m[1] for m in metas], dtype="int32"),
@@ -108,9 +114,6 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
     (deterministic, unit-norm, real schema); real backend would run CNN/CLIP
     batch inference here.
     """
-    if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real non-PNG feature extraction needs a model runtime")
-
     import math
 
     from web_crawling_prj_spark.functions.png import PNG_MAGIC, png_decode, resize_nearest
@@ -118,6 +121,7 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
     out_schema += ", feature array<float>"
     grid = math.ceil(math.sqrt(dim))
+    backend = DECODE_BACKEND  # driver-side capture (workers re-import the module)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(SEED_FEATURES)
@@ -133,6 +137,10 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
                     if len(v) < dim:
                         v = np.pad(v, (0, dim - len(v)))
                 else:
+                    if backend != "fake":  # per-blob gate: PNG above stays real
+                        raise NotImplementedError(
+                            "real non-PNG feature extraction needs a model runtime"
+                        )
                     raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
                     if len(raw) < 64:
                         raw = np.pad(raw, (0, 64 - len(raw)))
@@ -152,9 +160,6 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
     stdlib decode → nearest-neighbor resample → re-encode (functions.png).
     WCPM synthetic blobs rewrite the self-describing header dims (the fake
     backend's stand-in for a JPEG/etc. re-encode)."""
-    if DECODE_BACKEND != "fake":
-        raise NotImplementedError("real non-PNG resize needs PIL")
-
     from web_crawling_prj_spark.functions.png import (
         PNG_MAGIC,
         png_decode,
@@ -164,6 +169,8 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
 
+    backend = DECODE_BACKEND  # driver-side capture (workers re-import the module)
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
@@ -171,7 +178,7 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
                 if b[:8] == PNG_MAGIC:  # real pixels, real resample
                     out.append(png_encode(resize_nearest(png_decode(bytes(b)), max_side)))
                     continue
-                mt, w, h, dur = _parse_header(b)
+                mt, w, h, dur = _parse_header(b, backend)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 out.append(_MAGIC + struct.pack("<BIII", {v: k for k, v in _MTYPES.items()}.get(mt, 0), nw, nh, dur) + b[17:])

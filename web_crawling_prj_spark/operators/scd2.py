@@ -147,7 +147,11 @@ def scd2_apply_batch(
 
 
 def scd2_merge_sql(
-    target_table: str, batch_view: str, primary_key: list[str], load_ts: str
+    target_table: str,
+    batch_view: str,
+    primary_key: list[str],
+    load_ts: str,
+    columns: list[tuple[str, str]],
 ) -> str:
     """The single-statement ANSI ``MERGE INTO`` equivalent of
     :func:`scd2_apply_batch` for engines with row-level table ops
@@ -156,11 +160,35 @@ def scd2_merge_sql(
     Standard SCD2-via-MERGE shape: the USING source is the staged batch
     (matched on pk → close the old latest version) UNION ALL the changed rows
     re-emitted with a NULL join key (never match → INSERT the new version,
-    with row_version_number = previous + 1 precomputed in the subquery)."""
+    with row_version_number = previous + 1 precomputed in the subquery).
+
+    ``columns``: the staged batch's (name, sql_type) pairs — the null join
+    keys are cast to the REAL pk types (a string pk would otherwise break the
+    UNION), and the INSERT branch lists every target column explicitly:
+    helper columns (_join_*, _new_version) never reach the target, inserted
+    rows take row_version_number = s._new_version and, for re-emitted changed
+    rows (version > 1), row_start_date = load_ts — exactly the functional
+    path's `bumped`/`fresh` branches."""
+    types = dict(columns)
     pk_eq = " AND ".join(f"t.{k} = s._join_{k}" for k in primary_key)
     pk_join = " AND ".join(f"t.{k} = b.{k}" for k in primary_key)
     join_sel = ", ".join(f"b.{k} AS _join_{k}" for k in primary_key)
-    null_join_sel = ", ".join(f"CAST(NULL AS LONG) AS _join_{k}" for k in primary_key)
+    null_join_sel = ", ".join(
+        f"CAST(NULL AS {types[k]}) AS _join_{k}" for k in primary_key
+    )
+    col_names = [c for c, _ in columns]
+    insert_cols = ", ".join(col_names)
+    insert_vals = ", ".join(
+        "s._new_version"
+        if c == "row_version_number"
+        else (
+            f"CASE WHEN s._new_version = 1 THEN s.row_start_date "
+            f"ELSE TIMESTAMP '{load_ts}' END"
+            if c == "row_start_date"
+            else f"s.{c}"
+        )
+        for c in col_names
+    )
     return f"""
 MERGE INTO {target_table} t
 USING (
@@ -175,7 +203,7 @@ WHEN MATCHED AND t.hash_key <> s.hash_key THEN UPDATE SET
   t.row_end_date = TIMESTAMP '{load_ts}',
   t.row_is_latest = false,
   t.modified_at = TIMESTAMP '{load_ts}'
-WHEN NOT MATCHED THEN INSERT *
+WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})
 """.strip()
 
 
@@ -209,13 +237,19 @@ def scd2_apply_batch_table(
     deduped = packed.select(*primary_key, *[F.col(f"_row.{c}").alias(c) for c in value_cols])
     staged = with_scd2_metadata(deduped, hash_cols, from_src, load_ts)
     staged.createOrReplaceTempView("_scd2_batch_stage")
+    cols = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
     try:
-        spark.sql(scd2_merge_sql(target_table, "_scd2_batch_stage", primary_key, load_ts))
+        spark.sql(scd2_merge_sql(target_table, "_scd2_batch_stage", primary_key, load_ts, cols))
         return "merge"
-    except Exception as ex:  # v1 source: no row-level ops → fall back
+    except Exception as ex:
+        # ONLY the capability gap falls back (measured Spark v1 signature:
+        # "[UNSUPPORTED_FEATURE.TABLE_OPERATION] … does not support MERGE INTO
+        # TABLE"). Real MERGE failures — e.g. Delta's multiple-source-rows-
+        # matched error — must surface, never silently reroute into the
+        # destructive table rewrite.
         msg = str(ex).upper()
-        if "MERGE" not in msg and "ROW-LEVEL" not in msg and "UNSUPPORTED" not in msg:
-            raise  # a real failure, not a capability gap
+        if "UNSUPPORTED_FEATURE" not in msg and "DOES NOT SUPPORT MERGE" not in msg:
+            raise
     current = spark.table(target_table)
     merged = scd2_apply_batch(current, batch, primary_key, hash_cols, from_src, load_ts)
     stage = f"{target_table}__scd2_stage"

@@ -432,23 +432,24 @@ def _run_round(
         merged = merge_blooms(bloom, delta) if bloom is not None else delta
         store.save_bloom(round_id, bloom_to_bytes(merged))
 
-    # render the human-readable run artifact (reference Teams card analog) —
-    # post-commit sidecar, numbers read back from the committed tables only
+    # read the committed tables back ONCE (two small driver jobs per round);
+    # the artifact render, the summary, and the abort check all share the rows
     from web_crawling_prj_spark.plans.reports import render_run_artifact
 
-    render_run_artifact(spark, store, round_id)
+    metrics_rows = store.read_round(spark, "metrics", round_id).collect()
+    report = store.read_round(spark, "run_report", round_id).first()
+    # render the human-readable run artifact (reference Teams card analog) —
+    # post-commit sidecar, numbers from the committed tables only
+    render_run_artifact(spark, store, round_id, rep_row=report, metrics_rows=metrics_rows)
 
-    # summarize from the COMMITTED metrics parquet — no recompute of the DAG
-    committed_metrics = store.read_round(spark, "metrics", round_id)
     summary = {
         r["bucket"]: (r["scheduled_cnt"], r["fetched_ok_cnt"], r["failed_cnt"])
-        for r in committed_metrics.collect()
+        for r in metrics_rows
     }
     # batch/run failure threshold (reference C4/C5): abort AFTER committing so
     # a resumed run (mode='failed' analog) starts from consistent state;
     # run_round's finally releases the caches/broadcast on this path too
     if cfg.extra.get("abort_on_failed_run"):
-        report = store.read_round(spark, "run_report", round_id).first()
         if report and report["run_failed"]:
             raise RuntimeError(
                 f"round {round_id} failed: {report['failed']}/{report['scheduled']} fetches failed"

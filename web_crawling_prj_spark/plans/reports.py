@@ -62,7 +62,7 @@ def run_summary(metrics: DataFrame, fail_threshold_ratio: float = 0.5) -> DataFr
     )
 
 
-def render_run_artifact(spark, store, round_id: int) -> str:
+def render_run_artifact(spark, store, round_id: int, rep_row=None, metrics_rows=None) -> str:
     """Render the per-round run report as human-readable artifacts next to the
     manifest: ``_manifests/NNNNNN.report.md`` + ``.report.json``.
 
@@ -76,11 +76,16 @@ def render_run_artifact(spark, store, round_id: int) -> str:
     Returns the markdown path. Written AFTER the commit point (like the bloom
     sidecar): a kill in between loses only the rendering, never state; the
     next render call reproduces it from the same committed tables.
+
+    ``rep_row`` / ``metrics_rows``: callers that already collected the
+    committed rows (run_round does, for its own summary) pass them in so the
+    render adds ZERO extra Spark jobs; standalone calls fetch them here.
     """
     import json as _json
     import os
 
-    rep_row = store.read_round(spark, "run_report", round_id).first()
+    if rep_row is None:
+        rep_row = store.read_round(spark, "run_report", round_id).first()
     # an idle round (frontier drained / everything deferred) schedules nothing:
     # the metrics groupBy emits zero rows, so the committed run_report is empty
     rep = (
@@ -96,9 +101,9 @@ def render_run_artifact(spark, store, round_id: int) -> str:
             "run_failed": False,
         }
     )
-    per_bucket = [
-        r.asDict() for r in store.read_round(spark, "metrics", round_id).orderBy("bucket").collect()
-    ]
+    if metrics_rows is None:
+        metrics_rows = store.read_round(spark, "metrics", round_id).collect()
+    per_bucket = [r.asDict() for r in sorted(metrics_rows, key=lambda r: r["bucket"])]
     meta = store.manifest(round_id)
     payload = {**rep, "round_ts": meta.get("round_ts"), "per_bucket": per_bucket}
     base = os.path.join(store.root, "_manifests", f"{round_id:06d}.report")

@@ -364,6 +364,22 @@ class StateStore:
             rounds = [r for r in rounds if r <= up_to]
         usable = [t for t in self.tiers(table) if up_to is None or t["upto"] <= up_to]
         floor = usable[-1]["upto"] if usable else -1
+        # same reconstructability contract as read_all: a round past the
+        # usable tiers whose manifest says it wrote this table but whose dir
+        # is gone was folded into a deeper tier and vacuumed — returning an
+        # INCOMPLETE seen-set silently would re-schedule already-fetched URLs
+        missing = [
+            r
+            for r in rounds
+            if r > floor
+            and table in self.manifest(r).get("tables", [])
+            and not os.path.exists(self._table_round_dir(table, r))
+        ]
+        if missing:
+            raise ValueError(
+                f"{table}: rounds {missing} were compacted into a tier beyond "
+                f"up_to={up_to} and vacuumed; read_parts cannot reconstruct history"
+            )
         bases = []
         for t in usable:
             d = self._base_dir(table, t["upto"])
