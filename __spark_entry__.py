@@ -544,6 +544,39 @@ def q_rollup_order_counts(spark, sf_dir):
     )
 
 
+def q_cube_status_priority(spark, sf_dir):
+    """CUBE aggregation: all 4 grouping combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("total_cents")
+    )
+
+
+def q_order_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p25/p50/p75/p95) of order value per
+    status — Spark `percentile` ≡ SQL percentile_cont ≡ DuckDB quantile_cont."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p95"),
+    )
+
+
+def q_order_value_deciles(spark, sf_dir):
+    """ntile(10) decile assignment per order within its status (total order:
+    value then key — deterministic under any partitioning)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus", F.ntile(10).over(w).alias("decile")
+    )
+
+
 # --- non-SQL-expressible (rows-only checks) ---
 
 
@@ -722,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "run_summary": q_run_summary,
         "rollup_order_counts": q_rollup_order_counts,
+        "cube_status_priority": q_cube_status_priority,
+        "order_value_percentiles": q_order_value_percentiles,
+        "order_value_deciles": q_order_value_deciles,
         "dedup_components": q_dedup_components,  # oracle: winnowing twin + recursive closure
         # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
@@ -1122,6 +1158,26 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+        "cube_status_priority": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+        "order_value_percentiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderstatus
+""",
+        "order_value_deciles": """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS decile
+FROM orders
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),

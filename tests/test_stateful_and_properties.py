@@ -275,3 +275,77 @@ def test_token_bucket_vectorized_equals_scalar_reference_and_is_fast():
     wall = time.time() - t0
     assert len(out) == 100_000 and out["admitted"].all()  # rate 1.7/s, 1 event/s
     assert wall < 2.0, f"vectorized token bucket took {wall:.2f}s for 1e5 events"
+
+
+def test_token_bucket_property_random_sequences():
+    """Hypothesis: for ANY event sequence (duplicate epochs, gaps, unsorted
+    hashes) and any (rate, burst), the numpy kernel's emissions and carried
+    state equal the scalar per-row recurrence."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_crawling_prj_spark.streaming.stateful import make_token_bucket_fn
+
+    class FakeState:
+        def __init__(self):
+            self._exists, self._value, self.hasTimedOut = False, None, False
+
+        @property
+        def exists(self):
+            return self._exists
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._exists, self._value = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def scalar(pdf, rate, burst):
+        tokens, last = burst, 0
+        out = []
+        pdf = pdf.sort_values(["event_epoch", "url_hash"])
+        for _, row in pdf.iterrows():
+            e = int(row["event_epoch"])
+            tokens = min(burst, tokens + max(0, e - last) * rate)
+            last = max(last, e)
+            adm = tokens >= 1.0
+            if adm:
+                tokens -= 1.0
+            out.append((row["url_canon"], int(row["url_hash"]), e, adm, tokens))
+        return out, tokens, last
+
+    events = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(ev=events, rate=st.sampled_from([0.5, 1.7, 3.0]), burst=st.sampled_from([1.0, 4.3, 9.0]))
+    def check(ev, rate, burst):
+        pdf = pd.DataFrame(
+            {
+                "url_canon": [f"u{i}" for i in range(len(ev))],
+                "url_hash": [h for _, h in ev],
+                "event_epoch": [e for e, _ in ev],
+            }
+        )
+        fn = make_token_bucket_fn(rate_per_s=rate, burst=burst)
+        stt = FakeState()
+        got = pd.concat(list(fn(("h",), iter([pdf.copy()]), stt)), ignore_index=True)
+        want, t_end, e_end = scalar(pdf.copy(), rate, burst)
+        assert stt.get == (float(t_end), int(e_end))
+        got_rows = list(
+            zip(got["url_canon"], got["url_hash"], got["event_epoch"], got["admitted"], got["tokens_after"])
+        )
+        assert len(got_rows) == len(want)
+        for g, w in zip(got_rows, want):
+            assert g[:4] == w[:4]
+            assert abs(g[4] - w[4]) == 0.0  # float-exact
+
+    check()
