@@ -68,7 +68,11 @@ FRONTIER_COLS = [
 
 @dataclass
 class CrawlConfig:
-    num_buckets: int = 16  # seen-set shards (P)
+    # seen-set/frontier shards (P). Sizing rule: bucketed scans cap their
+    # parallelism at P (one task per bucket), so set P ≥ total executor cores
+    # on a real cluster (e.g. 4096 for 1000 executors) — small P costs
+    # parallelism, large P only costs file count (one file per bucket/round).
+    num_buckets: int = 16
     n_salts: int = 16  # politeness skew salts
     round_duration_ms: int = 30_000
     max_per_host: int = 40
