@@ -128,6 +128,20 @@ def q_frontier_batches(spark, sf_dir):
     )
 
 
+def q_host_freq_cms(spark, sf_dir):
+    """Sketch family: count-min per-host frequency estimates over the derived
+    frontier, alongside exact counts. The md5-arithmetic row hashes make the
+    sketch DuckDB-reproducible cell for cell — estimates are value-checked,
+    not just bounded."""
+    from web_crawling_prj_spark.operators.sketches import cms_build, cms_estimate
+
+    f = _frontier(spark, sf_dir)
+    cells = cms_build(f, "host", width=256, depth=4)
+    hosts = f.groupBy("host").agg(F.count("*").alias("n_urls"))
+    est = cms_estimate(cells, hosts.select("host"), "host", width=256, depth=4)
+    return hosts.join(est, "host").select("host", "cms_count", "n_urls")
+
+
 def q_robots_gate(spark, sf_dir):
     """Robots prefix gate: hosts ≡ 0 (mod 7 over trailing id) disallow /doc/1*."""
     f = _frontier(spark, sf_dir)
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_profile": q_host_skew_profile,
         "frontier_batches": q_frontier_batches,
         "robots_gate": q_robots_gate,
+        "host_freq_cms": q_host_freq_cms,
         "error_classification": q_error_classification,
         "retry_backoff": q_retry_backoff,
         "pricing_summary": q_pricing_summary,
@@ -807,6 +822,25 @@ WITH {_FRONTIER_SQL}
 SELECT url, host FROM frontier
 WHERE NOT (CAST(substr(host, 6, 4) AS INT) % 7 = 0
            AND ('/doc/' || CAST(doc_id AS VARCHAR)) LIKE '/doc/1%')
+""",
+        "host_freq_cms": f"""
+WITH {_FRONTIER_SQL},
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT js.j,
+         CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || f.host), 1, 15)) AS BIGINT) % 256 AS cell,
+         count(*) AS cnt
+  FROM frontier f CROSS JOIN js
+  GROUP BY 1, 2),
+hosts AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM frontier GROUP BY host),
+probe AS (
+  SELECT h.host, h.n_urls, min(c.cnt) AS est
+  FROM hosts h
+  CROSS JOIN js
+  JOIN cells c ON c.j = js.j
+   AND c.cell = CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || h.host), 1, 15)) AS BIGINT) % 256
+  GROUP BY h.host, h.n_urls)
+SELECT host, CAST(est AS BIGINT) AS cms_count, n_urls FROM probe
 """,
         "error_classification": """
 WITH derived AS (

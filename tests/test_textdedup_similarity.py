@@ -345,3 +345,40 @@ def test_run_summary_zero_scheduled_is_idle_not_failed(spark):
     out = {r.round_id: r for r in run_summary(m).collect()}
     assert out[1].success_rate_pct == 100.0 and out[1].run_failed is False
     assert out[2].success_rate_pct == 70.0 and out[2].run_failed is False
+
+
+def test_cms_bounds_and_merge(spark):
+    """Count-min guarantees on a skewed key set: estimate ≥ exact ALWAYS,
+    estimate ≤ exact + εN (ε = e/width) for every key; merging two
+    half-sketches (union + re-sum) equals the one-shot sketch."""
+    import math
+
+    from web_crawling_prj_spark.operators.sketches import cms_build, cms_estimate
+
+    w, d = 64, 4  # small width so collisions actually happen
+    df = spark.range(20_000).select(
+        "id",
+        F.when(F.pmod("id", F.lit(10)) < 4, F.lit("hot"))
+        .otherwise(F.format_string("k%d", F.pmod("id", F.lit(500))))
+        .alias("key"),
+    )
+    exact = {r.key: r.n for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+    cells = cms_build(df, "key", width=w, depth=d)
+    keys = df.select("key").distinct()
+    est = {r.key: r.cms_count for r in cms_estimate(cells, keys, "key", width=w, depth=d).collect()}
+    eps_n = math.e / w * n_total
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)  # never undercounts
+        assert est[k] <= n + eps_n, (k, est[k], n, eps_n)  # CMS error bound
+    assert est["hot"] >= 8000  # the heavy hitter is visible
+
+    # mergeability: sketch(first half) ⊎ sketch(second half) == sketch(all)
+    h1 = cms_build(df.where("id < 10000"), "key", width=w, depth=d)
+    h2 = cms_build(df.where("id >= 10000"), "key", width=w, depth=d)
+    merged = (
+        h1.unionByName(h2).groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    one_shot = {(r.j, r.cell): r.cnt for r in cells.collect()}
+    got = {(r.j, r.cell): r.cnt for r in merged.collect()}
+    assert got == one_shot

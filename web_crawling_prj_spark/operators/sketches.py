@@ -1,0 +1,78 @@
+"""Mergeable frequency sketches — count-min (Cormode & Muthukrishnan '05).
+
+A 100 TB crawl wants approximate per-key frequencies (host heavy hitters,
+hot-path detection) without materializing a full groupBy at every checkpoint.
+The count-min sketch here is expressed RELATIONALLY: the d×w counter table is
+a DataFrame of (j, cell, cnt) rows built with one explode + one
+partial-aggregable groupBy, so it is
+
+- bounded: d·w rows regardless of input size (broadcastable);
+- mergeable: union two sketches and re-sum cnt — the streaming/multi-batch
+  property that makes sketches useful at all;
+- oracle-checkable: the row hashes are md5-hex arithmetic
+  (``conv(substr(md5(j || ':' || key),1,15),16,10) % w``) that DuckDB
+  reproduces bit-exactly (``CAST('0x'||substr(...) AS BIGINT)``), so the
+  driver's correctness gate can verify estimates value-for-value — unlike
+  opaque binary sketch blobs.
+
+Guarantees (standard CMS): estimate ≥ true count always; estimate ≤ true +
+εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Both are asserted by
+the golden test against exact counts.
+
+Native expressions only — no UDFs anywhere on the sketch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_cell(key: Column, j: int, width: int) -> Column:
+    """Row-j hash cell: first 15 md5 hex chars (fits a long) mod width."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 256, depth: int = 4) -> DataFrame:
+    """Build the sketch: (j, cell, cnt) rows, ≤ depth·width of them.
+
+    One explode (d rows per input row, map-side) + one groupBy with partial
+    aggregation — the only shuffle moves ≤ d·w distinct cells per partition.
+    Merge two sketches with ``unionByName(...).groupBy(j, cell).sum(cnt)``."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(F.col(key_col), j, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return rows.groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, keys: DataFrame, key_col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Point queries: (key, cms_count = min over rows of the key's cells).
+
+    The sketch side is tiny (≤ d·w rows) → every join broadcasts; the keys
+    side never shuffles. Absent cells count 0 (key never seen)."""
+    est = keys.select(
+        key_col,
+        *[_cms_cell(F.col(key_col), j, width).alias(f"_c{j}") for j in range(depth)],
+    )
+    for j in range(depth):
+        cj = cells.where(F.col("j") == j).select(
+            F.col("cell").alias(f"_c{j}"), F.col("cnt").alias(f"_n{j}")
+        )
+        est = est.join(F.broadcast(cj), f"_c{j}", "left")
+    mins = F.least(*[F.coalesce(F.col(f"_n{j}"), F.lit(0)) for j in range(depth)])
+    return est.select(key_col, mins.cast("long").alias("cms_count"))
