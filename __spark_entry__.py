@@ -713,7 +713,11 @@ def q_crawl_rounds(spark, sf_dir):
     cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25, use_bloom=False)
     cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
     # bucketed store: the steady-state anti-join runs shuffle-free (r3 layout)
-    store = crawl_store(tempfile.mkdtemp(prefix="wcp_entry_"), cfg)
+    # state on RAM-backed storage where available — same reasoning as the
+    # session's shuffle dirs (the sandbox's virtual disk writes ~340 MB/s and
+    # would serialize the per-round commits; real clusters have local NVMe)
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = crawl_store(tempfile.mkdtemp(prefix="wcp_entry_", dir=tmp_parent), cfg)
     try:
         run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
     finally:
