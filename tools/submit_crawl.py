@@ -32,14 +32,15 @@ def main() -> None:
     args = ap.parse_args()
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store, run_crawl
+    from web_crawling_prj_spark.session import get_spark
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
-    spark = SparkSession.builder.appName("wcp-crawl").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    # get_spark applies the engine's SQL conf (AQE, Arrow, UTC, bucketed-scan
+    # ordering) and NEVER overrides a spark-submit-provided cluster master
+    spark = get_spark("wcp-crawl")
 
     pages = pages_df(spark, args.sf_dir).persist()
     cfg = CrawlConfig(

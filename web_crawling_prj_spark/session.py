@@ -60,13 +60,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # spark-submit provides the master as a JVM system property (spark.master);
+    # setting builder.master() then would OVERRIDE a cluster master with
+    # local[*] and silently un-distribute the job. Only force a master when
+    # the process owns it: explicit SPARK_MASTER env, or no submitted master.
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().contains("spark.master")
     # Local mode: shuffle through RAM. The sandbox's virtual disk writes at
     # ~340 MB/s and would serialize every shuffle; on a real cluster each
     # executor shuffles to its own local NVMe, which /dev/shm models better.
-    if master.startswith("local") and os.path.isdir("/dev/shm"):
+    if not submitted_master and master.startswith("local") and os.path.isdir("/dev/shm"):
         b = b.config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp"))
-    # Only force a master when not already provided by spark-submit.
-    if "SPARK_MASTER" in os.environ or master.startswith("local"):
+    if "SPARK_MASTER" in os.environ or not submitted_master:
         b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
