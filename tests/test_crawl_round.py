@@ -468,3 +468,20 @@ def test_tiered_compaction_minor_never_rewrites_old_tiers(spark, tmp_path, crawl
     from web_crawling_prj_spark.plans.crawl_round import run_round
 
     assert run_round(spark, store, pages, robots, 7, c)["scheduled"] >= 0
+
+
+def test_rank_prefilter_crawl_equivalence(spark, tmp_path, crawl_inputs):
+    """CrawlConfig.rank_prefilter (the sampled top-k pushdown) is a pure
+    physical choice: identical schedule and seen-set over a full crawl."""
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    on = dataclasses.replace(cfg, rank_prefilter=True)
+    on.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    a = crawl_store(str(tmp_path / "pfa"), cfg)
+    run_crawl(spark, a, pages, robots, seeds, rounds=3, cfg=cfg)
+    b = crawl_store(str(tmp_path / "pfb"), on)
+    run_crawl(spark, b, pages, robots, seeds, rounds=3, cfg=on)
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / "pfa"))
+    shutil.rmtree(str(tmp_path / "pfb"))

@@ -92,6 +92,11 @@ class CrawlConfig:
     # file-layout rewrite, never a semantics change; resume-safe (atomic
     # pointer swap, old dirs kept).
     compact_every: int = 8
+    # sampled top-k pushdown before the politeness rank (exact via rescue
+    # pass — politeness.schedule_round(threshold_prefilter=)). Off by
+    # default: its fixed sample jobs only amortize on large rounds (measured
+    # 2.1× at 8 cores / 16M rows; a wash below that — BENCH/SCALING.md r3).
+    rank_prefilter: bool = False
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -318,7 +323,11 @@ def _run_round(
             .drop("_ho")
         )
     scheduled = schedule_round(
-        allowed, budgets, n_salts=cfg.n_salts, default_budget=cfg.default_budget
+        allowed,
+        budgets,
+        n_salts=cfg.n_salts,
+        default_budget=cfg.default_budget,
+        threshold_prefilter=cfg.rank_prefilter,
     ).persist()
     persisted.append(scheduled)
     # frontier rows that lost the budget race stay pending for the next round
