@@ -241,3 +241,24 @@ def test_read_parts_raises_on_vacuumed_history(spark, tmp_path):
     # at-or-past the tier: fine
     bases, deltas = store.read_parts(spark, "seen_delta", up_to=3)
     assert sum(b.count() for b in bases) == 20 and deltas == []
+
+
+def test_bucket_layout_drift_refused(spark, tmp_path, crawl_inputs=None):
+    """Resuming a bucketed store with a different num_buckets must fail loudly
+    — mixed layouts would silently put the exchange back in every
+    co-partitioned join."""
+    import pytest
+
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store
+
+    store = crawl_store(str(tmp_path / "drift"), CrawlConfig(num_buckets=8))
+    df = spark.range(10).selectExpr("xxhash64(id) as url_hash")
+    store.commit_round(0, {"seen_delta": df.repartition(8, "url_hash")})
+
+    resumed = crawl_store(str(tmp_path / "drift"), CrawlConfig(num_buckets=16))
+    with pytest.raises(ValueError, match="bucket layout cannot change"):
+        resumed.commit_round(1, {"seen_delta": df.repartition(16, "url_hash")})
+    # same layout resumes fine
+    ok = crawl_store(str(tmp_path / "drift"), CrawlConfig(num_buckets=8))
+    ok.commit_round(1, {"seen_delta": df.repartition(8, "url_hash")})
+    assert ok.last_committed_round() == 1

@@ -147,6 +147,7 @@ class StateStore:
         """
         if os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} already committed")
+        self._check_layout_drift(round_id)
         from concurrent.futures import ThreadPoolExecutor
 
         bucket_meta: dict[str, dict[str, Any]] = {}
@@ -176,6 +177,25 @@ class StateStore:
             json.dump(meta, f)
         os.rename(tmp, self._manifest_path(round_id))  # the atomic commit point
         return meta
+
+    def _check_layout_drift(self, round_id: int) -> None:
+        """The bucket layout is STORE-INTRINSIC: a resume that passes a
+        different (col, n) than the committed rounds carry would write new
+        rounds in a mismatched layout — reads stay CORRECT (each table
+        re-registers with its own recorded spec) but every co-partitioned
+        join silently regains its exchange. Refuse loudly instead."""
+        last = self.last_committed_round()
+        if last is None or not self.bucket_spec:
+            return
+        prev = self.manifest(last).get("bucketed", {})
+        for table, (col, n) in self.bucket_spec.items():
+            old = prev.get(table)
+            if old is not None and (old["col"], old["n"]) != (col, n):
+                raise ValueError(
+                    f"{table}: store was committed with bucket layout "
+                    f"({old['col']}, {old['n']}) but this writer is configured "
+                    f"for ({col}, {n}) — bucket layout cannot change mid-store"
+                )
 
     # --- sketch sidecars (Iceberg-style puffin analog: bloom bytes per round) ---
 
