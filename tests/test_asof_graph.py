@@ -136,3 +136,36 @@ def test_priority_from_pagerank(spark):
     # exact 200-vs-300 order depends on power-iteration parity in this 2-cycle
     assert min(out[200], out[300]) > out[100]
     assert all(0.0 <= p <= 1.0 for p in out.values())
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Folding pair batches in one at a time through incremental_components
+    must end in EXACTLY the labels of one full recompute over all pairs —
+    including cluster merges ACROSS batches and singleton carry-over."""
+    from web_crawling_prj_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(5, 6)],
+        [(2, 3), (6, 10)],   # merges {1,2}∪{3,4} and {5,6}∪{10,11}
+        [(20, 21), (4, 20)], # chains a new cluster onto {1,2,3,4}
+    ]
+    labels = None
+    for b in batches:
+        labels = incremental_components(
+            labels, spark.createDataFrame(b, "id_a long, id_b long")
+        )
+    all_pairs = spark.createDataFrame(
+        [p for b in batches for p in b], "id_a long, id_b long"
+    )
+    full = connected_components(all_pairs)
+    got = {(r.node, r.component) for r in labels.collect()}
+    want = {(r.node, r.component) for r in full.collect()}
+    assert got == want
+    # spot the semantics: one mega-cluster {1,2,3,4,20,21} rooted at 1
+    comp = dict(got)
+    assert {comp[n] for n in (1, 2, 3, 4, 20, 21)} == {1}
+    assert {comp[n] for n in (5, 6, 10, 11)} == {5}

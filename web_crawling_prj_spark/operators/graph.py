@@ -94,6 +94,38 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    labels: DataFrame | None,
+    new_pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Fold a NEW batch of duplicate pairs into existing (node, component)
+    labels — the daily-increment shape of transitive dedup at corpus scale.
+
+    The old cluster structure is already COMPRESSED in the labels (every node
+    points at its min representative), so instead of re-running over all
+    historical pairs, the merged components are exactly
+    ``connected_components(label_edges ∪ new_pairs)``: label edges are star
+    graphs (node → component) with the same connectivity as the full history.
+    Work per increment is O(labels + new_pairs), independent of how many
+    historical pair batches built the labels — proven equivalent to the full
+    recompute in tests/test_asof_graph.py."""
+    if labels is None:
+        return connected_components(new_pairs, a_col, b_col, max_iter=max_iter)
+    label_edges = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(a_col), F.col("component").alias(b_col)
+    )
+    edges = label_edges.unionByName(
+        new_pairs.select(F.col(a_col), F.col(b_col))
+    )
+    merged = connected_components(edges, a_col, b_col, max_iter=max_iter)
+    # isolated previously-labeled nodes (their cluster had size 1) carry over
+    singletons = labels.join(merged.select("node"), "node", "left_anti")
+    return merged.unionByName(singletons)
+
+
 def dedup_by_components(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
