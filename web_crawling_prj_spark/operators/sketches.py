@@ -63,16 +63,26 @@ def cms_estimate(
 ) -> DataFrame:
     """Point queries: (key, cms_count = min over rows of the key's cells).
 
-    The sketch side is tiny (≤ d·w rows) → every join broadcasts; the keys
-    side never shuffles. Absent cells count 0 (key never seen)."""
-    est = keys.select(
+    Melt-join-min shape: each key explodes to its d (j, cell) probes, ONE
+    broadcast join against the sketch rows, min per key — the sketch subtree
+    is evaluated once (a join per depth row would replicate the cells
+    aggregation d times in the plan). The keys side never shuffles beyond the
+    final per-key min (partial-aggregable). Absent cells count 0."""
+    probes = keys.select(
         key_col,
-        *[_cms_cell(F.col(key_col), j, width).alias(f"_c{j}") for j in range(depth)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(F.col(key_col), j, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+    joined = probes.join(F.broadcast(cells), ["j", "cell"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")
     )
-    for j in range(depth):
-        cj = cells.where(F.col("j") == j).select(
-            F.col("cell").alias(f"_c{j}"), F.col("cnt").alias(f"_n{j}")
-        )
-        est = est.join(F.broadcast(cj), f"_c{j}", "left")
-    mins = F.least(*[F.coalesce(F.col(f"_n{j}"), F.lit(0)) for j in range(depth)])
-    return est.select(key_col, mins.cast("long").alias("cms_count"))
