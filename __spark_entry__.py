@@ -720,12 +720,20 @@ def q_crawl_rounds(spark, sf_dir):
     store = crawl_store(tempfile.mkdtemp(prefix="wcp_entry_", dir=tmp_parent), cfg)
     try:
         run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
+        log = store.read_all(spark, "fetch_log").select(
+            "round_id", "url_hash", "url_canon", "host", "attempt", "http_code", "error_class"
+        ).orderBy("round_id", "url_hash")
+        # pin the result BEFORE reclaiming the store: repeated gate/entry runs
+        # must not accumulate crawl state on RAM-backed tmpfs (shared with the
+        # shuffle dirs), and the returned plan must not depend on deleted files
+        return log.localCheckpoint(eager=True)
     finally:
         pages.unpersist()
-    log = store.read_all(spark, "fetch_log")
-    return log.select(
-        "round_id", "url_hash", "url_canon", "host", "attempt", "http_code", "error_class"
-    ).orderBy("round_id", "url_hash")
+        import shutil
+
+        shutil.rmtree(store.root, ignore_errors=True)
+        for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {t.tableName}")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -243,7 +243,7 @@ def test_read_parts_raises_on_vacuumed_history(spark, tmp_path):
     assert sum(b.count() for b in bases) == 20 and deltas == []
 
 
-def test_bucket_layout_drift_refused(spark, tmp_path, crawl_inputs=None):
+def test_bucket_layout_drift_refused(spark, tmp_path):
     """Resuming a bucketed store with a different num_buckets must fail loudly
     — mixed layouts would silently put the exchange back in every
     co-partitioned join."""
@@ -262,3 +262,25 @@ def test_bucket_layout_drift_refused(spark, tmp_path, crawl_inputs=None):
     ok = crawl_store(str(tmp_path / "drift"), CrawlConfig(num_buckets=8))
     ok.commit_round(1, {"seen_delta": df.repartition(8, "url_hash")})
     assert ok.last_committed_round() == 1
+
+
+def test_bucket_layout_drift_refused_both_directions(spark, tmp_path):
+    """Dropping bucketing on resume (bucketed store → plain writer) must be
+    refused just like changing the bucket count."""
+    import pytest
+
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store
+    from web_crawling_prj_spark.plans.statestore import StateStore
+
+    bkt = crawl_store(str(tmp_path / "dir2"), CrawlConfig(num_buckets=8))
+    df = spark.range(10).selectExpr("xxhash64(id) as url_hash")
+    bkt.commit_round(0, {"seen_delta": df.repartition(8, "url_hash")})
+    plain = StateStore(str(tmp_path / "dir2"))
+    with pytest.raises(ValueError, match="bucket layout cannot change"):
+        plain.commit_round(1, {"seen_delta": df})
+    # and plain → bucketed is refused too
+    p2 = StateStore(str(tmp_path / "dir3"))
+    p2.commit_round(0, {"seen_delta": df})
+    b2 = crawl_store(str(tmp_path / "dir3"), CrawlConfig(num_buckets=8))
+    with pytest.raises(ValueError, match="bucket layout cannot change"):
+        b2.commit_round(1, {"seen_delta": df.repartition(8, "url_hash")})

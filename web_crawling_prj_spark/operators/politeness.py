@@ -175,29 +175,46 @@ def _rank_with_threshold_prefilter(
         .where(F.col("_sr2") == k)
         .select("host", F.col("priority").alias("_thr"))
     )
+    # the threshold-applied marker rides THROUGH the rank so rescue detection
+    # reads it off the cached winners — re-deriving "was this host
+    # thresholded?" from thr would re-run the sample + its windows over the
+    # full input a second time
     filtered = (
         p.join(F.broadcast(thr), "host", "left")
         .where(F.col("_thr").isNull() | (F.col("priority") >= F.col("_thr")))
+        .withColumn("_had_thr", F.col("_thr").isNotNull())
+        .drop("_thr")
     )
     # persist the winners: the rescue check below is an ACTION over them, and
     # without the cache it would re-execute the whole filtered rank a second
-    # time when the caller consumes the result. Bounded ≤ hosts×budget rows.
-    sched = exact_rank(filtered.drop("_thr")).persist()
+    # time when the caller consumes the result. Bounded ≤ hosts×budget rows;
+    # the no-rescue return IS this cached plan, so a caller's own
+    # persist/unpersist round lifecycle (run_round's) releases it.
+    sched = exact_rank(filtered).persist()
 
-    # rescue detection: thresholded hosts whose winners fall short of budget
+    # rescue detection: thresholded hosts whose winners fall short of budget.
+    # (A thresholded host whose TOTAL rows are under budget lands here too —
+    # nothing qualifying was cut, its redo is a no-op on few rows; the
+    # threshold's k-sample requirement makes such hosts rare.) Broadcast
+    # joins, never collected values or isin literals — the rescue set must
+    # not grow the plan or the driver with host-count.
     short = (
-        sched.join(F.broadcast(thr), "host", "left_semi")
+        sched.where(F.col("_had_thr"))
         .groupBy("host")
         .agg(F.count("*").alias("_n"), F.first("max_per_round").alias("_b"))
         .where(F.col("_n") < F.col("_b"))
         .select("host")
     )
-    rescue_hosts = [r.host for r in short.collect()]  # tiny by construction
-    if not rescue_hosts:
-        return sched
-    ok = sched.where(~F.col("host").isin(rescue_hosts))
-    redo = exact_rank(p.where(F.col("host").isin(rescue_hosts)))
-    return ok.unionByName(redo)
+    if short.isEmpty():  # the expected case: one tiny job over cached winners
+        return sched.drop("_had_thr")
+    ok = sched.join(F.broadcast(short), "host", "left_anti").drop("_had_thr")
+    redo = exact_rank(p.join(F.broadcast(short), "host", "left_semi"))
+    result = ok.unionByName(redo)
+    # rare path: the returned plan no longer equals the cached one, so the
+    # cache would leak past any caller lifecycle — release it now and let the
+    # one extra recompute happen at the caller's action
+    sched.unpersist()
+    return result
 
 
 def batch_ids(df: DataFrame, batch_size: int = 50) -> DataFrame:

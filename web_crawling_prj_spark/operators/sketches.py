@@ -34,13 +34,11 @@ def _cms_cell(key: Column, j: int, width: int) -> Column:
     return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
 
 
-def cms_build(df: DataFrame, key_col: str, width: int = 256, depth: int = 4) -> DataFrame:
-    """Build the sketch: (j, cell, cnt) rows, ≤ depth·width of them.
-
-    One explode (d rows per input row, map-side) + one groupBy with partial
-    aggregation — the only shuffle moves ≤ d·w distinct cells per partition.
-    Merge two sketches with ``unionByName(...).groupBy(j, cell).sum(cnt)``."""
-    rows = df.select(
+def _probe_rows(df: DataFrame, key_col: str, width: int, depth: int, keep_key: bool) -> DataFrame:
+    """Melt each row into its d (j, cell) probe rows — the ONE place the
+    probe construction lives, so build and estimate can never disagree on
+    hash salt, depth range, or field names."""
+    cols = ([F.col(key_col)] if keep_key else []) + [
         F.explode(
             F.array(
                 *[
@@ -52,8 +50,22 @@ def cms_build(df: DataFrame, key_col: str, width: int = 256, depth: int = 4) -> 
                 ]
             )
         ).alias("e")
-    )
-    return rows.groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell")).agg(
+    ]
+    out = df.select(*cols)
+    keep = ([key_col] if keep_key else []) + [
+        F.col("e.j").alias("j"),
+        F.col("e.cell").alias("cell"),
+    ]
+    return out.select(*keep)
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 256, depth: int = 4) -> DataFrame:
+    """Build the sketch: (j, cell, cnt) rows, ≤ depth·width of them.
+
+    One explode (d rows per input row, map-side) + one groupBy with partial
+    aggregation — the only shuffle moves ≤ d·w distinct cells per partition.
+    Merge two sketches with ``unionByName(...).groupBy(j, cell).sum(cnt)``."""
+    return _probe_rows(df, key_col, width, depth, keep_key=False).groupBy("j", "cell").agg(
         F.count("*").alias("cnt")
     )
 
@@ -68,20 +80,7 @@ def cms_estimate(
     is evaluated once (a join per depth row would replicate the cells
     aggregation d times in the plan). The keys side never shuffles beyond the
     final per-key min (partial-aggregable). Absent cells count 0."""
-    probes = keys.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_cell(F.col(key_col), j, width).alias("cell"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("e"),
-    ).select(key_col, F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+    probes = _probe_rows(keys, key_col, width, depth, keep_key=True)
     joined = probes.join(F.broadcast(cells), ["j", "cell"], "left")
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")

@@ -147,7 +147,7 @@ class StateStore:
         """
         if os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} already committed")
-        self._check_layout_drift(round_id)
+        self._check_layout_drift(tables)
         from concurrent.futures import ThreadPoolExecutor
 
         bucket_meta: dict[str, dict[str, Any]] = {}
@@ -178,23 +178,37 @@ class StateStore:
         os.rename(tmp, self._manifest_path(round_id))  # the atomic commit point
         return meta
 
-    def _check_layout_drift(self, round_id: int) -> None:
-        """The bucket layout is STORE-INTRINSIC: a resume that passes a
-        different (col, n) than the committed rounds carry would write new
-        rounds in a mismatched layout — reads stay CORRECT (each table
-        re-registers with its own recorded spec) but every co-partitioned
-        join silently regains its exchange. Refuse loudly instead."""
+    def _check_layout_drift(self, tables: dict[str, DataFrame]) -> None:
+        """The bucket layout is STORE-INTRINSIC: a resume whose writer differs
+        from the committed rounds — different (col, n), bucketing dropped, or
+        bucketing newly added — would write new rounds in a mismatched layout.
+        Reads stay CORRECT either way (each table re-registers with its own
+        recorded spec) but every co-partitioned join silently regains its
+        exchange. Refuse loudly, in BOTH directions."""
         last = self.last_committed_round()
-        if last is None or not self.bucket_spec:
+        if last is None:
             return
-        prev = self.manifest(last).get("bucketed", {})
-        for table, (col, n) in self.bucket_spec.items():
-            old = prev.get(table)
-            if old is not None and (old["col"], old["n"]) != (col, n):
+        m = self.manifest(last)
+        prev = m.get("bucketed", {})
+        for name in tables:
+            if name not in m.get("tables", []):
+                continue  # table is new to the store: any layout is fine
+            old = prev.get(name)
+            new = self.bucket_spec.get(name)
+            if old is None and new is None:
+                continue
+            if old is None or new is None:
+                was = "bucketed" if old is not None else "plain"
+                now = "bucketed" if new is not None else "plain"
                 raise ValueError(
-                    f"{table}: store was committed with bucket layout "
+                    f"{name}: store was committed {was} but this writer is "
+                    f"{now} — bucket layout cannot change mid-store"
+                )
+            if (old["col"], old["n"]) != tuple(new):
+                raise ValueError(
+                    f"{name}: store was committed with bucket layout "
                     f"({old['col']}, {old['n']}) but this writer is configured "
-                    f"for ({col}, {n}) — bucket layout cannot change mid-store"
+                    f"for {tuple(new)} — bucket layout cannot change mid-store"
                 )
 
     # --- sketch sidecars (Iceberg-style puffin analog: bloom bytes per round) ---

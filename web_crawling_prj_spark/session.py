@@ -62,11 +62,20 @@ def get_spark(
     )
     # spark-submit provides the master as a JVM system property (spark.master);
     # setting builder.master() then would OVERRIDE a cluster master with
-    # local[*] and silently un-distribute the job. Only force a master when
-    # the process owns it: explicit SPARK_MASTER env, or no submitted master.
-    from pyspark import SparkConf
+    # local[*] and silently un-distribute the job. Detection: spark-submit's
+    # PythonRunner launches the JVM FIRST and hands the Python driver its
+    # gateway via PYSPARK_GATEWAY_PORT — before that gateway exists,
+    # SparkConf() is a plain empty dict (it never launches a JVM), so probing
+    # it alone would always say "no master" in exactly the case that matters.
+    submitted_master = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not submitted_master:
+        from pyspark import SparkConf
+        from pyspark.core.context import SparkContext
 
-    submitted_master = SparkConf().contains("spark.master")
+        # belt-and-braces for exotic embeddings where a gateway already exists
+        submitted_master = SparkContext._jvm is not None and SparkConf().contains(
+            "spark.master"
+        )
     # Local mode: shuffle through RAM. The sandbox's virtual disk writes at
     # ~340 MB/s and would serialize every shuffle; on a real cluster each
     # executor shuffles to its own local NVMe, which /dev/shm models better.
