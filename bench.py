@@ -394,7 +394,29 @@ def main():
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", str(n_urls * 8)))
         spark.stop()  # children must own the machine — no idle parent JVM skew
         out["scaling"] = run_scaling(n_scale)
-    print(json.dumps(out))
+    # FULL record → file (round 3's single line outgrew the driver's tail
+    # capture and BENCH_r03.json came back unparseable); the stdout line is a
+    # COMPACT headline printed LAST so the driver's tail always parses it.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "core_bucketed_rate": core_bucketed.get("rate"),
+        "full_record": "BENCH/last_run.json",
+    }
+    sc = out.get("scaling")
+    if isinstance(sc, dict):
+        compact["scaling_efficiency"] = {
+            k: v for k, v in sc.items() if "efficiency" in str(k) or k in ("n_cores", "levels")
+        } or sc.get("efficiency")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -58,23 +58,35 @@ def synth_media_udf(doc_id: pd.Series, mtype: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# magics of real media containers this container CANNOT decode (no PIL/av):
+# JPEG, GIF, BMP, RIFF (WAV/AVI/WebP), MP4 ftyp at offset 4, Ogg, MP3 ID3
+_REAL_MEDIA_MAGICS = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM", b"RIFF", b"OggS", b"ID3")
+
+
 def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, int]:
     from web_crawling_prj_spark.functions.png import PNG_MAGIC, decode_ihdr
 
-    if blob is not None and blob[:8] == PNG_MAGIC:  # real image: stdlib parse
-        w, h, _, _ = decode_ihdr(bytes(blob))
-        return "image", w, h, 0
-    # non-PNG: the backend gate applies PER BLOB, so PNG datasets stay fully
-    # functional under any backend setting (module docstring contract).
+    # classify the blob FIRST: null/garbage is a DATA error (ValueError) under
+    # every backend; the environment-gap NotImplementedError is reserved for
+    # structurally plausible real media we genuinely cannot decode here.
     # `backend` is CAPTURED on the driver at operator construction — Python
     # workers re-import this module, so reading the global here would always
     # see the default, never the caller's setting.
-    if backend != "fake":
+    if blob is None or len(blob) < 12:
+        raise ValueError("null or truncated media blob")
+    if blob[:8] == PNG_MAGIC:  # real image: stdlib parse under any backend
+        w, h, _, _ = decode_ihdr(bytes(blob))
+        return "image", w, h, 0
+    if blob[:4] == _MAGIC:  # synthetic self-describing WCPM header
+        if len(blob) < 17:
+            raise ValueError("truncated WCPM media blob")
+        m, w, h, dur = struct.unpack("<BIII", blob[4:17])
+        return _MTYPES.get(m, "unknown"), w, h, dur
+    head = bytes(blob[:12])
+    plausible = head.startswith(_REAL_MEDIA_MAGICS) or head[4:8] == b"ftyp"
+    if plausible and backend != "fake":
         raise NotImplementedError("real non-PNG media decode needs PIL/av — not in this container")
-    if blob is None or len(blob) < 17 or blob[:4] != _MAGIC:
-        raise ValueError("not a WCPM media blob or PNG")
-    m, w, h, dur = struct.unpack("<BIII", blob[4:17])
-    return _MTYPES.get(m, "unknown"), w, h, dur
+    raise ValueError("not a WCPM media blob or PNG")
 
 
 def decode_metadata(media: DataFrame, blob_col: str = "media") -> DataFrame:

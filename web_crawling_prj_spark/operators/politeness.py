@@ -58,6 +58,7 @@ def schedule_round(
     threshold_prefilter: bool = False,
     prefilter_sample_mod: int = 64,
     prefilter_safety: float = 2.0,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Pick ≤ budget URLs per host: two-level salted exact top-k.
 
@@ -117,7 +118,7 @@ def schedule_round(
 
     if threshold_prefilter:
         sched = _rank_with_threshold_prefilter(
-            p, exact_rank, salt, prefilter_sample_mod, prefilter_safety
+            p, exact_rank, salt, prefilter_sample_mod, prefilter_safety, persisted
         )
     else:
         sched = exact_rank(p)
@@ -140,7 +141,12 @@ def schedule_round(
 
 
 def _rank_with_threshold_prefilter(
-    p: DataFrame, exact_rank, salt, sample_mod: int, safety: float
+    p: DataFrame,
+    exact_rank,
+    salt,
+    sample_mod: int,
+    safety: float,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Sampled top-k pushdown around ``exact_rank`` — exact by construction.
 
@@ -187,10 +193,15 @@ def _rank_with_threshold_prefilter(
     )
     # persist the winners: the rescue check below is an ACTION over them, and
     # without the cache it would re-execute the whole filtered rank a second
-    # time when the caller consumes the result. Bounded ≤ hosts×budget rows;
-    # the no-rescue return IS this cached plan, so a caller's own
-    # persist/unpersist round lifecycle (run_round's) releases it.
+    # time when the caller consumes the result. Bounded ≤ hosts×budget rows.
+    # Spark's unpersist is non-cascading and the returned plan carries a
+    # Project on top of this one, so the CALLER cannot release this cache by
+    # unpersisting the return value — the handle must be surfaced via
+    # ``persisted`` (run_round's round lifecycle) or released here before
+    # returning (one recompute at the caller's action).
     sched = exact_rank(filtered).persist()
+    if persisted is not None:
+        persisted.append(sched)
 
     # rescue detection: thresholded hosts whose winners fall short of budget.
     # (A thresholded host whose TOTAL rows are under budget lands here too —
@@ -206,13 +217,17 @@ def _rank_with_threshold_prefilter(
         .select("host")
     )
     if short.isEmpty():  # the expected case: one tiny job over cached winners
+        if persisted is None:
+            # no owner to release the cache later — drop it now; the caller's
+            # action recomputes the filtered rank once (same total executions
+            # as never persisting), but nothing accumulates across rounds
+            sched.unpersist()
         return sched.drop("_had_thr")
     ok = sched.join(F.broadcast(short), "host", "left_anti").drop("_had_thr")
     redo = exact_rank(p.join(F.broadcast(short), "host", "left_semi"))
     result = ok.unionByName(redo)
-    # rare path: the returned plan no longer equals the cached one, so the
-    # cache would leak past any caller lifecycle — release it now and let the
-    # one extra recompute happen at the caller's action
+    # rare path: the returned plan no longer equals the cached one — release
+    # now (harmless double-unpersist later if registered in ``persisted``)
     sched.unpersist()
     return result
 

@@ -225,7 +225,23 @@ def scd2_apply_batch_table(
 
     On this sandbox (no Iceberg/Delta jars) the merge path is composed and
     attempted but always falls back — honest environment gate, same pattern
-    as plans.statestore's Iceberg notes."""
+    as plans.statestore's Iceberg notes.
+
+    Crash safety of the fallback: the new state is staged to
+    ``{target}__scd2_stage``, the live table renamed ASIDE (never dropped
+    first), the stage promoted, then the old copy dropped — so a complete
+    copy of the data exists in the catalog at every instant. A crash between
+    rename-aside and promote leaves no ``target_table``; the next call
+    detects that (stage present, target absent — the stage's catalog entry
+    only exists once its write committed) and promotes the stage
+    automatically before applying the new batch."""
+    stage = f"{target_table}__scd2_stage"
+    aside = f"{target_table}__scd2_old"
+    if not spark.catalog.tableExists(target_table) and spark.catalog.tableExists(stage):
+        # crashed between rename-aside and promote: the stage holds the
+        # complete post-batch state of that earlier run — promote it
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {aside}")
     if not spark.catalog.tableExists(target_table):
         staged = scd2_apply_batch(None, batch, primary_key, hash_cols, from_src, load_ts)
         staged.write.mode("overwrite").saveAsTable(target_table)
@@ -238,26 +254,39 @@ def scd2_apply_batch_table(
     staged = with_scd2_metadata(deduped, hash_cols, from_src, load_ts)
     staged.createOrReplaceTempView("_scd2_batch_stage")
     cols = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
-    try:
+    if _table_supports_merge(spark, target_table):
+        # capability decided from the table's PROVIDER, not by sniffing
+        # exception text (brittle across Spark versions/locales) — and real
+        # MERGE failures (e.g. Delta's multiple-source-rows-matched error)
+        # surface to the caller, never silently reroute into the rewrite.
         spark.sql(scd2_merge_sql(target_table, "_scd2_batch_stage", primary_key, load_ts, cols))
         return "merge"
-    except Exception as ex:
-        # ONLY the capability gap falls back (measured Spark v1 signature:
-        # "[UNSUPPORTED_FEATURE.TABLE_OPERATION] … does not support MERGE INTO
-        # TABLE"). Real MERGE failures — e.g. Delta's multiple-source-rows-
-        # matched error — must surface, never silently reroute into the
-        # destructive table rewrite.
-        msg = str(ex).upper()
-        if "UNSUPPORTED_FEATURE" not in msg and "DOES NOT SUPPORT MERGE" not in msg:
-            raise
     current = spark.table(target_table)
     merged = scd2_apply_batch(current, batch, primary_key, hash_cols, from_src, load_ts)
-    stage = f"{target_table}__scd2_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")  # stale stage from a crashed run
     merged.write.mode("overwrite").saveAsTable(stage)
-    spark.sql(f"DROP TABLE {target_table}")
+    # stage complete → swap with the live copy always present in the catalog:
+    # rename target ASIDE, promote the stage, drop the old copy last
+    spark.sql(f"DROP TABLE IF EXISTS {aside}")
+    spark.sql(f"ALTER TABLE {target_table} RENAME TO {aside}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+    spark.sql(f"DROP TABLE {aside}")
     return "rewrite"
+
+
+#: table providers with row-level operation (MERGE INTO) support
+MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg", "hudi"}
+
+
+def _table_supports_merge(spark, table: str) -> bool:
+    """MERGE capability from the table's catalog PROVIDER (Delta/Iceberg/Hudi
+    implement SupportsRowLevelOperations; Spark's v1 parquet/csv/hive tables
+    do not) — deterministic, locale-independent, version-stable."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    provider = next(
+        (r.data_type for r in rows if (r.col_name or "").strip() == "Provider"), ""
+    )
+    return (provider or "").strip().lower() in MERGE_CAPABLE_PROVIDERS
 
 
 def scd2_rebuild_from_history(

@@ -328,6 +328,7 @@ def _run_round(
         n_salts=cfg.n_salts,
         default_budget=cfg.default_budget,
         threshold_prefilter=cfg.rank_prefilter,
+        persisted=persisted,
     ).persist()
     persisted.append(scheduled)
     # frontier rows that lost the budget race stay pending for the next round

@@ -176,7 +176,46 @@ class StateStore:
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.rename(tmp, self._manifest_path(round_id))  # the atomic commit point
+        # record first-seen layouts AFTER the commit point: a killed write
+        # must not register a layout for a round that never happened
+        layout = self._load_layout()
+        changed = False
+        for name in tables:
+            if name not in layout:
+                spec = self.bucket_spec.get(name)
+                layout[name] = {"col": spec[0], "n": spec[1]} if spec else None
+                changed = True
+        if changed:
+            self._save_layout(layout)
         return meta
+
+    def _layout_path(self) -> str:
+        return os.path.join(self.root, "_manifests", "_layout.json")
+
+    def _load_layout(self) -> dict[str, Any]:
+        """Store-level layout registry: table → {col, n} (bucketed) or None
+        (plain), recorded the first time each table is committed. Stores
+        written before this file existed are seeded by replaying every
+        manifest oldest→newest (the newest mention of a table wins), so a
+        table committed intermittently is still covered — the defect the
+        last-manifest-only check had."""
+        path = self._layout_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        layout: dict[str, Any] = {}
+        for r in self.committed_rounds():
+            m = self.manifest(r)
+            b = m.get("bucketed", {})
+            for t in m.get("tables", []):
+                layout[t] = {"col": b[t]["col"], "n": b[t]["n"]} if t in b else None
+        return layout
+
+    def _save_layout(self, layout: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_manifests"), suffix=".ltmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(layout, f)
+        os.rename(tmp, self._layout_path())
 
     def _check_layout_drift(self, tables: dict[str, DataFrame]) -> None:
         """The bucket layout is STORE-INTRINSIC: a resume whose writer differs
@@ -184,16 +223,15 @@ class StateStore:
         bucketing newly added — would write new rounds in a mismatched layout.
         Reads stay CORRECT either way (each table re-registers with its own
         recorded spec) but every co-partitioned join silently regains its
-        exchange. Refuse loudly, in BOTH directions."""
-        last = self.last_committed_round()
-        if last is None:
+        exchange. Refuse loudly, in BOTH directions, for EVERY table ever
+        committed (the registry covers intermittently-committed tables too)."""
+        layout = self._load_layout()
+        if not layout:
             return
-        m = self.manifest(last)
-        prev = m.get("bucketed", {})
         for name in tables:
-            if name not in m.get("tables", []):
+            if name not in layout:
                 continue  # table is new to the store: any layout is fine
-            old = prev.get(name)
+            old = layout[name]
             new = self.bucket_spec.get(name)
             if old is None and new is None:
                 continue
