@@ -170,7 +170,7 @@ def test_run_round_pending_plan_is_shuffle_free_on_bucketed_store(spark, sf_dir,
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
     pages, robots, seeds = pages_df(spark, sf_dir), robots_df(spark), seeds_df(spark, sf_dir)
-    cfg = CrawlConfig(num_buckets=8, n_salts=4, compact_every=0)
+    cfg = CrawlConfig(num_buckets=8, n_salts=4, compact_every=0, frontier_deltas=False)
     cfg.extra["max_doc_id"] = 10_000
     store = crawl_store(str(tmp_path / "bkt"), cfg)
     run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
@@ -198,3 +198,74 @@ def test_run_round_pending_plan_is_shuffle_free_on_bucketed_store(spark, sf_dir,
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for b in bcasts:
             b.destroy()
+
+
+def test_delta_mode_pending_plan_never_touches_base_with_a_shuffle(spark, sf_dir, tmp_path):
+    """Frontier-delta steady state (round 4): the pending plan's BASE branch
+    is one parquet scan + one broadcast anti-join — no shuffle, no sort, no
+    seen-set join at read time (the log is kept seen-clean at write time) —
+    and the eligibility filter is PUSHED DOWN into the base scan. The only
+    exchanges in the whole plan move the resolved recent churn (delta-sized),
+    never the 10^10-row backlog."""
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        pending_frontier,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    pages, robots, seeds = pages_df(spark, sf_dir), robots_df(spark), seeds_df(spark, sf_dir)
+    cfg = CrawlConfig(num_buckets=8, n_salts=4, compact_every=3, frontier_deltas=True)
+    cfg.extra["max_doc_id"] = 10_000
+    store = crawl_store(str(tmp_path / "dlt"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=5, cfg=cfg)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bcasts = []
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pending, _, _ = pending_frontier(spark, store, 6, cfg, bcasts)
+        plan = explain_str(pending, "simple")
+        # exchanges move ONLY the recent churn: one repartition feeding the
+        # latest-event resolution per consumer (recent branch + base's
+        # tombstone keys), both REPARTITION_BY_NUM over the per-round logs
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert plan.count("REPARTITION_BY_NUM") == 2, plan
+        # the base tier joins through a broadcast anti-join, never a shuffle
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        # no seen-set table anywhere in the read plan
+        assert "seen_delta" not in plan, plan
+        # eligibility predicate reached the base parquet scan
+        fmt = explain_str(pending, "formatted")
+        assert "frontier_log__base" in fmt, fmt
+        assert "PushedFilters: [Or(IsNull(next_eligible_ts)" in fmt, fmt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for b in bcasts:
+            b.destroy()
+
+
+def test_spark_union_bucketed_partitioning_guard(spark):
+    """Regression guard for an upstream Spark 4.1.2 wrong-results bug: with
+    spark.sql.unionOutputPartitioning=true (upstream default), a Union of two
+    co-bucketed table scans claims its children's HashPartitioning although
+    Union CONCATENATES partitions, so a downstream distinct/groupBy elides
+    its exchange (even an explicit repartition!) and returns duplicates.
+    session.get_spark pins the conf off; this test proves the session gives
+    right answers and documents the repro."""
+    assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+    a = spark.range(1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    try:
+        for n, df in [("ubg_a", a), ("ubg_b", b)]:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            df.repartition(8, "k").write.mode("overwrite").bucketBy(8, "k").sortBy(
+                "k"
+            ).saveAsTable(n)
+        u = spark.table("ubg_a").unionByName(spark.table("ubg_b"))
+        assert u.distinct().count() == 1500  # 2000 under the upstream default
+        assert u.groupBy("k").count().where("count = 2").count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ubg_a")
+        spark.sql("DROP TABLE IF EXISTS ubg_b")

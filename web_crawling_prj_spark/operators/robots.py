@@ -95,3 +95,16 @@ def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
     allowed = robots_allows(path_of("url_canon"), F.col("disallow_prefixes"))
     return joined.filter(allowed).drop("disallow_prefixes")
+
+
+def gate_frontier_flagged(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """:func:`gate_frontier` keeping BOTH outcomes: same broadcast join and
+    codegen'd predicate, but rows carry a ``robots_allowed`` flag instead of
+    being dropped — the delta-committing crawl needs the disallowed keys too
+    (they become frontier tombstones), and one cached flagged frame is
+    cheaper than running the gate twice."""
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+    )
+    allowed = robots_allows(path_of("url_canon"), F.col("disallow_prefixes"))
+    return joined.withColumn("robots_allowed", allowed).drop("disallow_prefixes")

@@ -49,7 +49,7 @@ from web_crawling_prj_spark.operators.dedup import anti_join_seen_layered, dedup
 from web_crawling_prj_spark.operators.fetch import discover_outlinks, synthetic_fetch
 from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
 from web_crawling_prj_spark.operators.retry import classify_fetch_log, update_circuit_state
-from web_crawling_prj_spark.operators.robots import gate_frontier
+from web_crawling_prj_spark.operators.robots import gate_frontier, gate_frontier_flagged
 from web_crawling_prj_spark.plans.statestore import StateStore
 
 FRONTIER_COLS = [
@@ -64,6 +64,14 @@ FRONTIER_COLS = [
     "attempt",
     "next_eligible_ts",
 ]
+
+#: frontier-as-event-log layout (frontier_deltas mode): each round commits only
+#: its CHANGES — adds (full replacement rows: retries, discovery winners) and
+#: dels (key-only tombstones: scheduled + robots-disallowed keys). The live
+#: frontier is per-key latest-event-wins over (evt_round, add-beats-del).
+FRONTIER_LOG_COLS = [*FRONTIER_COLS, "evt_round", "is_del"]
+
+_STATE_COLS = [c for c in FRONTIER_COLS if c != "url_hash"]
 
 
 @dataclass
@@ -97,6 +105,13 @@ class CrawlConfig:
     # default: its fixed sample jobs only amortize on large rounds (measured
     # 2.1× at 8 cores / 16M rows; a wash below that — BENCH/SCALING.md r3).
     rank_prefilter: bool = False
+    # commit frontier CHANGES (adds + key tombstones in `frontier_log`)
+    # instead of rewriting the full `frontier` table every round — per-round
+    # commit bytes ∝ round churn, not frontier size (the 10^10-row backlog
+    # must never be rewritten to schedule a 10^6-row batch). Observable crawl
+    # behavior is identical in both modes (equality-tested); a store is
+    # created in one mode and stays in it.
+    frontier_deltas: bool = True
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -116,6 +131,7 @@ def crawl_store(root: str, cfg: CrawlConfig | None = None) -> StateStore:
     cfg = cfg or CrawlConfig()
     spec = {
         "frontier": ("url_hash", cfg.num_buckets),
+        "frontier_log": ("url_hash", cfg.num_buckets),
         "seen_delta": ("url_hash", cfg.num_buckets),
     }
     return StateStore(root, bucket_spec=spec)
@@ -147,6 +163,14 @@ def init_crawl(spark: SparkSession, store: StateStore, seeds: DataFrame, cfg: Cr
     empty_seen = spark.createDataFrame(
         [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
     )
+    if cfg.frontier_deltas:
+        log0 = frontier.withColumns(
+            {"evt_round": F.lit(0), "is_del": F.lit(False)}
+        ).select(*FRONTIER_LOG_COLS)
+        store.commit_round(
+            0, {"frontier_log": log0, "seen_delta": empty_seen}, extra_meta={"kind": "init"}
+        )
+        return
     store.commit_round(
         0, {"frontier": frontier, "seen_delta": empty_seen}, extra_meta={"kind": "init"}
     )
@@ -177,6 +201,77 @@ def run_round(
             b.destroy()
 
 
+def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
+    """Per-key latest event over the un-folded frontier_log rounds.
+
+    Union of the per-round logs (delta-sized: Σ round churn since the last
+    fold), ONE repartition to the frontier's bucket layout, then
+    max(struct(evt_round, is_add, state)): the newest round wins, an add
+    beats a del within its own round (the del tombstones OLDER versions; its
+    round's replacement row supersedes it). Returns the resolved events —
+    winner state for keys whose latest event is an add, winner is_del=true
+    rows marking keys whose latest event is a tombstone. Output partitioning
+    is HashPartitioning(url_hash, num_buckets), so downstream joins against
+    the bucketed base/seen tables co-locate."""
+    ev = deltas[0]
+    for d in deltas[1:]:
+        ev = ev.unionByName(d)
+    packed = ev.repartition(num_buckets, "url_hash").select(
+        "url_hash",
+        F.struct(
+            F.col("evt_round"),
+            (~F.col("is_del")).alias("is_add"),
+            *[F.col(c) for c in _STATE_COLS],
+        ).alias("_e"),
+    )
+    resolved = packed.groupBy("url_hash").agg(F.max("_e").alias("_e"))
+    return resolved.select(
+        "url_hash",
+        *[F.col(f"_e.{c}").alias(c) for c in _STATE_COLS],
+        F.col("_e.evt_round").alias("evt_round"),
+        (~F.col("_e.is_add")).alias("is_del"),
+    )
+
+
+def live_frontier(
+    spark: SparkSession, store: StateStore, upto_round: int, cfg: CrawlConfig
+) -> DataFrame:
+    """The live frontier as of committed round ``upto_round``, either mode.
+
+    frontier_deltas mode: base tier ∖ broadcast(recent event keys) ∪ recent
+    adds. The base is touched by exactly ONE scan and ONE broadcast anti-join
+    per round — O(live) read, O(churn) everything else — versus the legacy
+    mode's O(live) WRITE every round. The live view is disjoint from the
+    seen-set by construction (adds are seen-filtered at write time, and every
+    key entering the seen-set is tombstoned the same round), so pending needs
+    no read-time seen join at all."""
+    if not cfg.frontier_deltas:
+        return store.read_round(spark, "frontier", upto_round)
+    bases, deltas = store.read_parts(spark, "frontier_log", up_to=upto_round)
+    live = None
+    for b in bases:  # ≤1 tier (frontier folds are always major), chain defensively
+        bb = b.select(*FRONTIER_COLS)
+        live = (
+            bb
+            if live is None
+            else live.join(bb.select("url_hash"), "url_hash", "left_anti").unionByName(bb)
+        )
+    if deltas:
+        resolved = _resolve_recent_log(deltas, cfg.num_buckets)
+        recent_live = resolved.where(~F.col("is_del")).select(*FRONTIER_COLS)
+        if live is not None:
+            keys = resolved.select("url_hash")
+            live = live.join(F.broadcast(keys), "url_hash", "left_anti").unionByName(recent_live)
+        else:
+            live = recent_live
+    if live is None:
+        raise ValueError(
+            f"no frontier_log state up to round {upto_round} — store was "
+            "initialised with frontier_deltas=False (modes cannot mix mid-store)"
+        )
+    return live
+
+
 def pending_frontier(
     spark: SparkSession,
     store: StateStore,
@@ -187,24 +282,27 @@ def pending_frontier(
     """Steps 0–2 of a round: read the committed frontier, split by backoff
     eligibility, and dedup vs the seen-set → (pending, deferred, bloom).
 
-    This is THE scale-critical plan of the steady state: with the bucketed
-    store (crawl_store) the frontier scan, the bloom probe, and the anti-join
-    chain against the compacted seen base + per-round deltas all run in the
-    frontier's own bucket layout — zero exchanges end to end
-    (tests/test_plan_shapes.py pins that on this exact function)."""
+    This is THE scale-critical plan of the steady state. frontier_deltas mode
+    (default): the live view comes from :func:`live_frontier` — one bucketed
+    base scan + one broadcast anti-join + the resolved recent churn; no seen
+    join exists at read time because the log is kept seen-clean at write
+    time. Legacy full-rewrite mode: the frontier scan, the bloom probe, and
+    the anti-join chain against the compacted seen base + per-round deltas
+    all run in the frontier's own bucket layout — zero exchanges end to end
+    (tests/test_plan_shapes.py pins both shapes on this exact function)."""
     round_ts = cfg.round_ts(round_id)
-    frontier = store.read_round(spark, "frontier", round_id - 1)
-    seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
+    if cfg.frontier_deltas:
+        frontier = live_frontier(spark, store, round_id - 1, cfg)
+    else:
+        frontier = store.read_round(spark, "frontier", round_id - 1)
+        seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
 
     # 0) optional importance re-prioritization from the discovered link graph
     if cfg.pagerank_weight > 0:
         from web_crawling_prj_spark.operators.graph import priority_from_pagerank
 
-        lineage = store.read_all(spark, "frontier", up_to=round_id - 1)
-        if lineage is not None:
-            link_log = lineage.where(F.col("src_url_hash").isNotNull()).select(
-                "src_url_hash", "url_hash"
-            )
+        link_log = _link_lineage(spark, store, round_id, cfg)
+        if link_log is not None:
             frontier = priority_from_pagerank(frontier, link_log, weight=cfg.pagerank_weight)
 
     # 1) backoff gate (reference C10): only rows whose next_eligible_ts has passed
@@ -214,6 +312,9 @@ def pending_frontier(
     deferred = frontier.where(
         F.col("next_eligible_ts").isNotNull() & (F.col("next_eligible_ts") > F.lit(round_ts).cast("timestamp"))
     )
+    if cfg.frontier_deltas:
+        # live ∩ seen = ∅ by construction → pending IS the eligible set
+        return eligible, deferred, None
 
     # 2) dedup vs seen. Two layout-matched strategies:
     #    - BUCKETED store (crawl_store): frontier, seen base, and deltas all
@@ -253,6 +354,31 @@ def pending_frontier(
     return pending, deferred, bloom
 
 
+def _link_lineage(
+    spark: SparkSession, store: StateStore, round_id: int, cfg: CrawlConfig
+) -> DataFrame | None:
+    """Link-graph edges (src_url_hash → url_hash) for PageRank priorities.
+
+    Legacy mode reads them off the committed full-frontier history. Delta
+    mode re-derives them from the committed fetch_log (outlinks are a pure
+    function of fetched pages) — the log only stores each discovery winner
+    once, so the frontier history no longer carries every edge."""
+    if not cfg.frontier_deltas:
+        lineage = store.read_all(spark, "frontier", up_to=round_id - 1)
+        if lineage is None:
+            return None
+        return lineage.where(F.col("src_url_hash").isNotNull()).select(
+            "src_url_hash", "url_hash"
+        )
+    log = store.read_all(spark, "fetch_log", up_to=round_id - 1)
+    if log is None:
+        return None
+    edges = discover_outlinks(
+        log, links_per_page=cfg.links_per_page, max_doc_id=cfg.extra.get("max_doc_id")
+    )
+    return edges.select("src_url_hash", "url_hash")
+
+
 def _use_bloom(store: StateStore, cfg: CrawlConfig) -> bool:
     """Bloom tier is the PLAIN-layout optimization; the bucketed layout
     replaces it structurally (see pending_frontier step 2)."""
@@ -274,9 +400,18 @@ def _run_round(
 
     # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
     # HERE (not after the circuit split) so the quarantined branch does not
-    # re-run the bloom probe + seen anti-join at commit time.
-    gated = gate_frontier(pending, robots).persist()
-    persisted.append(gated)
+    # re-run the live-view reconstruction at commit time. Delta mode keeps
+    # BOTH outcomes of the gate: disallowed keys become frontier tombstones
+    # (legacy mode removes them by simply not rewriting them).
+    disallowed_keys = None
+    if cfg.frontier_deltas:
+        flagged = gate_frontier_flagged(pending, robots).persist()
+        persisted.append(flagged)
+        gated = flagged.where(F.col("robots_allowed")).drop("robots_allowed")
+        disallowed_keys = flagged.where(~F.col("robots_allowed")).select("url_hash")
+    else:
+        gated = gate_frontier(pending, robots).persist()
+        persisted.append(gated)
     allowed = gated
 
     # 4) circuit breaker (reference C12): hosts with open circuits sit out this
@@ -331,10 +466,14 @@ def _run_round(
         persisted=persisted,
     ).persist()
     persisted.append(scheduled)
-    # frontier rows that lost the budget race stay pending for the next round
-    leftover = allowed.join(scheduled.select("url_hash"), "url_hash", "left_anti").select(
-        *FRONTIER_COLS
-    )
+    # frontier rows that lost the budget race stay pending for the next round.
+    # Delta mode never materializes them: they simply stay live in the log
+    # (not tombstoned), so the O(frontier) anti-join below is legacy-only.
+    leftover = None
+    if not cfg.frontier_deltas:
+        leftover = allowed.join(scheduled.select("url_hash"), "url_hash", "left_anti").select(
+            *FRONTIER_COLS
+        )
 
     # 6) fetch + extract (synthetic deterministic fetcher; same schema as real).
     # The fetch log feeds FOUR consumers (next frontier, seen delta, metrics,
@@ -371,24 +510,58 @@ def _run_round(
     ).withColumns({"attempt": F.lit(0), "next_eligible_ts": F.lit(None).cast("timestamp")})
     discovered = discovered.select(*FRONTIER_COLS)
 
-    candidates = leftover.unionByName(deferred).unionByName(retries).unionByName(discovered)
-    if quarantined is not None:
-        candidates = candidates.unionByName(quarantined)
-    # dedup preference: in-flight retry state (attempt, backoff) must survive a
-    # fresh rediscovery of the same URL — otherwise attempt counters reset and
-    # the per-class retry budget / backoff gate are silently bypassed.
-    # Repartition BEFORE the dedup groupBy: hashpartitioning(url_hash, P)
-    # satisfies the aggregation's clustering requirement AND is exactly the
-    # bucket layout the frontier write wants — one exchange total, and the
-    # bucketed write then emits one file per bucket.
-    next_frontier = dedup_within_batch(
-        candidates.repartition(cfg.num_buckets, "url_hash"),
-        key="url_hash",
-        prefer=[
-            -F.coalesce(F.col("attempt"), F.lit(0)),
-            -F.coalesce(F.col("priority"), F.lit(0.0)),
-        ],
-    )
+    # dedup preference (both modes): in-flight retry state (attempt, backoff)
+    # must survive a fresh rediscovery of the same URL — otherwise attempt
+    # counters reset and the per-class retry budget / backoff gate are
+    # silently bypassed.
+    _prefer = [
+        -F.coalesce(F.col("attempt"), F.lit(0)),
+        -F.coalesce(F.col("priority"), F.lit(0.0)),
+    ]
+    if cfg.frontier_deltas:
+        # Delta commit: O(churn) rows, never the 10^10-row backlog.
+        #   adds = winners among {retries, discovered} ∪ their incumbent rows
+        #          (same dedup_within_batch + prefer as the legacy full dedup,
+        #          so conflict resolution is identical BY CONSTRUCTION — a
+        #          winning incumbent re-adds its own row, a no-op on the view),
+        #          seen-filtered at write time (anti_join_seen_layered) so the
+        #          live view stays disjoint from the seen-set;
+        #   dels = scheduled keys (fetched→seen, or replaced by their retry
+        #          row) + robots-disallowed keys.
+        cand = retries.unionByName(discovered)
+        cand_keys = cand.select("url_hash").distinct()
+        # incumbents = unchanged live rows competing with a candidate key:
+        # (gated ∖ scheduled) covers leftover + quarantined; deferred rows
+        # bypass the gate by design. Semi/anti joins broadcast the small side.
+        inc_gated = (
+            gated.join(F.broadcast(cand_keys), "url_hash", "left_semi")
+            .join(F.broadcast(scheduled.select("url_hash")), "url_hash", "left_anti")
+            .select(*FRONTIER_COLS)
+        )
+        inc_deferred = deferred.join(F.broadcast(cand_keys), "url_hash", "left_semi").select(
+            *FRONTIER_COLS
+        )
+        winners = dedup_within_batch(
+            cand.unionByName(inc_gated)
+            .unionByName(inc_deferred)
+            .repartition(cfg.num_buckets, "url_hash"),
+            key="url_hash",
+            prefer=_prefer,
+        )
+        next_frontier = None
+    else:
+        candidates = leftover.unionByName(deferred).unionByName(retries).unionByName(discovered)
+        if quarantined is not None:
+            candidates = candidates.unionByName(quarantined)
+        # Repartition BEFORE the dedup groupBy: hashpartitioning(url_hash, P)
+        # satisfies the aggregation's clustering requirement AND is exactly the
+        # bucket layout the frontier write wants — one exchange total, and the
+        # bucketed write then emits one file per bucket.
+        next_frontier = dedup_within_batch(
+            candidates.repartition(cfg.num_buckets, "url_hash"),
+            key="url_hash",
+            prefer=_prefer,
+        )
 
     # 9) seen-delta: everything scheduled this round (fetched or failed —
     # failures re-enter via the retry path, not by staying "unseen";
@@ -421,18 +594,39 @@ def _run_round(
     from web_crawling_prj_spark.plans.reports import run_summary
 
     new_host_state = update_circuit_state(prev_host_state, fetch_log)
-    store.commit_round(
-        round_id,
-        {
-            "frontier": next_frontier,
-            "seen_delta": seen_delta,
-            "fetch_log": fetch_log.drop("max_attempts"),
-            "metrics": metrics,
-            "host_state": new_host_state,
-            "run_report": run_summary(metrics),
-        },
-        extra_meta={"round_ts": round_ts},
-    )
+    tables = {
+        "seen_delta": seen_delta,
+        "fetch_log": fetch_log.drop("max_attempts"),
+        "metrics": metrics,
+        "host_state": new_host_state,
+        "run_report": run_summary(metrics),
+    }
+    if cfg.frontier_deltas:
+        # write-time seen filter on the delta-sized winners (this round's
+        # seen_delta included): keeps the live view seen-clean so reads never
+        # join against the seen-set at all. The winners carry the bucket
+        # layout (repartition upstream), so the tier joins co-locate.
+        seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
+        adds = anti_join_seen_layered(winners, [*seen_bases, *seen_deltas, seen_delta])
+        ftypes = {f.name: f.dataType for f in pending.select(*FRONTIER_COLS).schema.fields}
+        del_keys = scheduled.select("url_hash").unionByName(disallowed_keys)
+        del_rows = del_keys.select(
+            *[
+                F.lit(None).cast(ftypes[c]).alias(c) if c != "url_hash" else F.col(c)
+                for c in FRONTIER_COLS
+            ],
+            F.lit(round_id).alias("evt_round"),
+            F.lit(True).alias("is_del"),
+        )
+        add_rows = adds.select(
+            *FRONTIER_COLS, F.lit(round_id).alias("evt_round"), F.lit(False).alias("is_del")
+        )
+        tables["frontier_log"] = add_rows.unionByName(del_rows).repartition(
+            cfg.num_buckets, "url_hash"
+        )
+    else:
+        tables["frontier"] = next_frontier
+    store.commit_round(round_id, tables, extra_meta={"round_ts": round_ts})
     # maintain the cumulative bloom sidecar: delta bloom over this round's
     # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap.
     # Skipped entirely on the bucketed layout — nothing ever probes it there.
@@ -539,4 +733,42 @@ def run_crawl(
         stats.append(run_round(spark, store, pages, robots, r, cfg))
         if cfg.compact_every and r % cfg.compact_every == 0:
             store.compact(spark, "seen_delta", up_to=r, num_buckets=cfg.num_buckets)
+            if cfg.frontier_deltas:
+                # event-log fold: per-key latest state, tombstones dropped —
+                # always major (max_tiers=1; a partial tier could not be
+                # reached by later dels). Amortized O(live/compact_every) per
+                # round vs the legacy mode's O(live) write EVERY round.
+                store.compact(
+                    spark,
+                    "frontier_log",
+                    up_to=r,
+                    num_buckets=cfg.num_buckets,
+                    max_tiers=1,
+                    resolver=resolve_frontier_log,
+                )
     return stats
+
+
+def resolve_frontier_log(df: DataFrame) -> DataFrame:
+    """Fold resolver for the frontier event log: per-key latest event wins
+    (evt_round, add-beats-del), tombstoned keys dropped — the folded tier
+    holds exactly the live frontier rows, in the log's own schema."""
+    packed = df.select(
+        "url_hash",
+        F.struct(
+            F.col("evt_round"),
+            (~F.col("is_del")).alias("is_add"),
+            *[F.col(c) for c in _STATE_COLS],
+        ).alias("_e"),
+    )
+    resolved = packed.groupBy("url_hash").agg(F.max("_e").alias("_e"))
+    return (
+        resolved.where(F.col("_e.is_add"))
+        .select(
+            "url_hash",
+            *[F.col(f"_e.{c}").alias(c) for c in _STATE_COLS],
+            F.col("_e.evt_round").alias("evt_round"),
+            F.lit(False).alias("is_del"),
+        )
+        .select(*FRONTIER_LOG_COLS)
+    )

@@ -115,6 +115,17 @@ class StateStore:
     def _manifest_path(self, round_id: int) -> str:
         return os.path.join(self.root, "_manifests", f"{round_id:06d}.json")
 
+    def _read_rounds(self, spark: SparkSession, table: str, paths: list[str]) -> DataFrame:
+        """One multi-path scan over per-round dirs. basePath makes the scan a
+        single job with directory-level pruning; the synthetic `round`
+        partition column it adds is dropped so multi-round reads union
+        cleanly with tier reads (which see no partition dir)."""
+        return (
+            spark.read.option("basePath", os.path.join(self.root, table))
+            .parquet(*paths)
+            .drop("round")
+        )
+
     def committed_rounds(self) -> list[int]:
         d = os.path.join(self.root, "_manifests")
         return sorted(
@@ -324,11 +335,20 @@ class StateStore:
         num_buckets: int | None = None,
         bucket_col: str = "bucket",
         max_tiers: int = 4,
+        resolver=None,
     ) -> int | None:
         """Fold the rounds since the newest tier into a base tier (minor), or
         everything into one tier when ``max_tiers`` would be exceeded (major);
         atomic pointer swap either way. Returns the new tier's upto round, or
-        None if there is nothing to fold."""
+        None if there is nothing to fold.
+
+        ``resolver``: optional ``DataFrame -> DataFrame`` applied to the
+        folded union before writing — for EVENT-LOG tables (e.g. the crawl's
+        ``frontier_log``) whose fold must resolve per-key latest state rather
+        than concatenate rows. Event-log semantics need every layer in one
+        resolution, so pass ``max_tiers=1`` with it (folds are always major);
+        a minor fold of an event log would bake a partial window into a tier
+        that later deletes could no longer reach."""
         cur = self.tiers(table)
         floor = cur[-1]["upto"] if cur else -1
         new_rounds = [
@@ -344,7 +364,9 @@ class StateStore:
             df = self.read_all(spark, table, up_to=upto)  # all tiers + new deltas
         else:
             paths = [self._table_round_dir(table, r) for r in new_rounds]
-            df = spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+            df = self._read_rounds(spark, table, paths)
+        if resolver is not None:
+            df = resolver(df)
         new_dir = self._base_dir(table, upto)
         tier: dict[str, Any] = {"upto": upto}
         if table in self.bucket_spec:
@@ -469,7 +491,7 @@ class StateStore:
         else:
             paths = [self._table_round_dir(table, r) for r in delta_rounds]
             deltas = (
-                [spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)]
+                [self._read_rounds(spark, table, paths)]
                 if paths
                 else []
             )
@@ -524,7 +546,7 @@ class StateStore:
         ]
         if paths:
             parts.append(
-                spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+                self._read_rounds(spark, table, paths)
             )
         if not parts:
             return None

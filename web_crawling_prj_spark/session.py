@@ -51,6 +51,17 @@ def get_spark(
         # the ordering when a bucket has ≤1 file — multi-file buckets fall
         # back to an in-memory sort, never to wrong results.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # WRONG-RESULTS GUARD (upstream Spark 4.1.2): with
+        # unionOutputPartitioning=true (the default), a Union of two
+        # co-bucketed table scans claims its children's HashPartitioning even
+        # though Union CONCATENATES partitions (key k lands in partition i
+        # AND n+i) — a downstream distinct/groupBy then elides its exchange
+        # (including explicit repartition()!) and returns duplicates.
+        # Minimal repro on a stock session: two bucketBy(8,"k") tables,
+        # ranges 0..999 and 500..1499 → union.distinct() = 2000, not 1500.
+        # The frontier-delta log resolution unions per-round bucketed tables
+        # before its latest-event groupBy, so this MUST stay off.
+        .config("spark.sql.unionOutputPartitioning", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
