@@ -183,6 +183,139 @@ def bench_frontier_core_bucketed(
     }
 
 
+def bench_frontier_commit(
+    spark, n: int, churn: int, rounds: int = 3, num_buckets: int = 32
+) -> dict:
+    """Round-4 headline: per-round frontier WRITE cost — delta log (O(churn))
+    vs legacy full rewrite (O(n)) — on the same standing backlog.
+
+    Mirrors run_round's state plumbing exactly: each round reconstructs the
+    live view, 'schedules' a deterministic churn-sized batch (tombstones),
+    discovers churn new URLs (adds), and commits the next state in each
+    layout. Reports per-round wall + bytes written. At 10^10-row backlogs the
+    legacy write is the round's dominant cost; the delta write does not grow
+    with n at all."""
+    import shutil
+
+    from web_crawling_prj_spark.plans.crawl_round import (
+        FRONTIER_COLS,
+        FRONTIER_LOG_COLS,
+        CrawlConfig,
+        crawl_store,
+        live_frontier,
+        resolve_frontier_log,
+    )
+
+    def frontier_rows(lo: int, hi: int):
+        # synthetic_frontier's URL/host shape, full FRONTIER_COLS, ids in [lo, hi)
+        mixed = F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1))
+        host_id = F.when(mixed % 100 < HOT_PCT, F.lit(0)).otherwise(mixed % N_HOSTS)
+        host = F.format_string("host-%05d.example", host_id)
+        url = F.format_string("https://%s/p/%d?id=%d&ref=bench", host, F.col("id"), F.col("id"))
+        return spark.range(lo, hi).select(
+            url.alias("url"),
+            url.alias("url_canon"),
+            url_hash(url).alias("url_hash"),
+            host.alias("host"),
+            (mixed % 100_000 / 100_000.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("timestamp").alias("discovered_ts"),
+            F.lit(None).cast("long").alias("src_url_hash"),
+            F.lit(0).alias("attempt"),
+            F.lit(None).cast("timestamp").alias("next_eligible_ts"),
+        )
+
+    def dir_bytes(path):
+        total = 0
+        for dp, _dn, fns in os.walk(path):
+            for fn in fns:
+                total += os.path.getsize(os.path.join(dp, fn))
+        return total
+
+    out = {"n": n, "churn": churn, "rounds": rounds}
+    for mode in ("delta", "legacy"):
+        root = f"/dev/shm/wcp-bench-commit-{mode}-{os.getpid()}"
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = CrawlConfig(num_buckets=num_buckets, frontier_deltas=(mode == "delta"))
+        store = crawl_store(root, cfg)
+        f0 = frontier_rows(0, n).repartition(num_buckets, "url_hash")
+        empty_seen = spark.createDataFrame(
+            [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
+        )
+        if mode == "delta":
+            log0 = f0.withColumns({"evt_round": F.lit(0), "is_del": F.lit(False)}).select(
+                *FRONTIER_LOG_COLS
+            )
+            store.commit_round(0, {"frontier_log": log0, "seen_delta": empty_seen})
+            # steady state starts from a folded base (the crawl folds every
+            # compact_every rounds)
+            store.compact(
+                spark, "frontier_log", up_to=0, max_tiers=1, resolver=resolve_frontier_log
+            )
+        else:
+            store.commit_round(0, {"frontier": f0, "seen_delta": empty_seen})
+        walls, bytes_per_round = [], []
+        for r in range(1, rounds + 1):
+            t0 = time.time()
+            live = live_frontier(spark, store, r - 1, cfg)
+            # deterministic churn-sized 'scheduled' batch + churn discoveries
+            sched_keys = live.where(
+                F.pmod(F.xxhash64("url_hash", F.lit(r)), F.lit(max(1, n // churn))) == 0
+            ).select("url_hash")
+            adds = frontier_rows(n + r * churn, n + (r + 1) * churn)
+            if mode == "delta":
+                log_r = (
+                    adds.withColumns({"evt_round": F.lit(r), "is_del": F.lit(False)})
+                    .select(*FRONTIER_LOG_COLS)
+                    .unionByName(
+                        sched_keys.select(
+                            "url_hash",
+                            *[
+                                F.lit(None).cast(t).alias(c)
+                                for c, t in [
+                                    ("url", "string"),
+                                    ("url_canon", "string"),
+                                    ("host", "string"),
+                                    ("priority", "double"),
+                                    ("depth", "int"),
+                                    ("discovered_ts", "timestamp"),
+                                    ("src_url_hash", "long"),
+                                    ("attempt", "int"),
+                                    ("next_eligible_ts", "timestamp"),
+                                ]
+                            ],
+                            F.lit(r).alias("evt_round"),
+                            F.lit(True).alias("is_del"),
+                        ).select(*FRONTIER_LOG_COLS)
+                    )
+                    .repartition(num_buckets, "url_hash")
+                )
+                store.commit_round(r, {"frontier_log": log_r})
+            else:
+                nxt = (
+                    live.join(F.broadcast(sched_keys), "url_hash", "left_anti")
+                    .select(*FRONTIER_COLS)
+                    .unionByName(adds)
+                    .repartition(num_buckets, "url_hash")
+                )
+                store.commit_round(r, {"frontier": nxt})
+            walls.append(round(time.time() - t0, 3))
+            tbl = "frontier_log" if mode == "delta" else "frontier"
+            bytes_per_round.append(dir_bytes(store._table_round_dir(tbl, r)))
+        out[mode] = {
+            "round_walls_s": walls,
+            "round_bytes": bytes_per_round,
+            "mb_per_round": [round(b / 1e6, 2) for b in bytes_per_round],
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+            spark.sql(f"DROP TABLE {t.tableName}")
+    out["write_amplification_legacy_vs_delta"] = round(
+        sum(out["legacy"]["round_bytes"]) / max(1, sum(out["delta"]["round_bytes"])), 1
+    )
+    return out
+
+
 def _scaling_child(cores: int, n: int) -> None:
     """Subprocess entry: run the frontier core on a fresh local[cores] JVM and
     print its stats as one JSON line (north-rule two-cluster-size evidence:
@@ -285,6 +418,8 @@ def main():
     spark = get_spark("wcp-bench", cores=cpus, shuffle_partitions=cpus)
     core = bench_frontier_core(spark, n_urls)
     core_bucketed = bench_frontier_core_bucketed(spark, n_urls)
+    # round-4: per-round frontier commit — delta log vs legacy full rewrite
+    commit = bench_frontier_commit(spark, n_urls, churn=max(1000, n_urls // 100))
 
     # extraction throughput: Arrow-UDF byte-identical HTML→text over the page
     # store (the webtext data-plane hot path)
@@ -385,6 +520,7 @@ def main():
         "sf": sf,
         "frontier_core": core,
         "frontier_core_bucketed": core_bucketed,
+        "frontier_commit": commit,
         "extract_pages_per_sec": extract,
         "simhash_docs_per_sec": simhash,
         "ann": ann,
@@ -409,6 +545,7 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "core_bucketed_rate": core_bucketed.get("rate"),
+        "commit_write_amp_legacy_vs_delta": commit.get("write_amplification_legacy_vs_delta"),
         "full_record": "BENCH/last_run.json",
     }
     sc = out.get("scaling")
