@@ -649,6 +649,45 @@ def q_minhash_neardups(spark, sf_dir):
     )
 
 
+def q_minhash_neardups_md5(spark, sf_dir):
+    """MinHash+LSH with the md5-arithmetic hash variant
+    (operators.textdedup._seeded_hash): same exact-group pre-pass, banding,
+    bucket cap, and Jaccard-estimate filter as the production xxhash64 path,
+    but every hash is DuckDB-reproducible, so the WHOLE pipeline is
+    oracle-checked value-for-value (the production path keeps its
+    exact-Jaccard goldens)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, jaccard_threshold=0.5, hash_fn="md5").select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_dedup_components_incremental(spark, sf_dir):
+    """Incremental transitive dedup (operators.graph.incremental_components):
+    the winnowing dup pairs arrive in TWO batches; batch 1 is clustered in
+    full, batch 2 is folded into the existing labels (O(labels + batch), the
+    daily-increment shape). The oracle is the same DuckDB WITH RECURSIVE
+    closure over ALL pairs — proving increment ≡ full recompute through the
+    driver contract."""
+    from web_crawling_prj_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from web_crawling_prj_spark.operators.textdedup import winnowing_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = winnowing_overlap_pairs(d, min_shared=40)
+    batch1 = pairs.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 0)
+    batch2 = pairs.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 1)
+    labels = connected_components(batch1)
+    merged = incremental_components(labels, batch2)
+    return (
+        merged.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("keep_id"))
+        .orderBy("component")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (rows-only check)."""
     d = _t(spark, sf_dir, "documents")
@@ -786,16 +825,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles": q_order_value_percentiles,
         "order_value_deciles": q_order_value_deciles,
         "dedup_components": q_dedup_components,  # oracle: winnowing twin + recursive closure
+        "dedup_components_incremental": q_dedup_components_incremental,  # increment ≡ full
+        "minhash_neardups_md5": q_minhash_neardups_md5,  # md5 variant: full pipeline oracle
+        "pagerank_hosts": q_pagerank_hosts,  # oracle: unrolled 8-iteration power method
         # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
-        "pagerank_hosts": q_pagerank_hosts,
         "frontier_cardinality": q_frontier_cardinality,
         "crawl_rounds": q_crawl_rounds,
     }
+
+
+_DEDUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+docs_rep AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
+n AS (SELECT rep_id AS id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM rep),
+g AS (SELECT id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                i -> md5(substr(t, CAST(i AS INT), 8))) AS grams FROM n),
+w AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                               j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g),
+fp AS (SELECT id, unnest(fps) AS fp FROM w),
+capped AS (SELECT id, fp FROM (SELECT id, fp, row_number() OVER (PARTITION BY fp ORDER BY id) AS bn FROM fp) WHERE bn <= 256),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY a.id, b.id HAVING count(*) >= 40),
+intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b
+          FROM docs_rep dr WHERE dr.doc_id != dr.rep_id),
+allp AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM intra),
+edges AS (SELECT id_a AS a, id_b AS b FROM allp UNION SELECT id_b AS a, id_a AS b FROM allp),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size, min(node) AS keep_id
+FROM lab GROUP BY component
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power iteration twin of q_pagerank_hosts: same edge derivation,
+    same dangling-mass redistribution, one CTE per iteration (fixed iteration
+    count needs no recursion, and recursive CTEs cannot aggregate anyway)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst "
+        "FROM frontier WHERE (doc_id % 50) <> ((doc_id * 7 + 3) % 50))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM ncnt) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr{i - 1}"
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nd.node,
+         (1 - {damping}) / (SELECT n FROM ncnt)
+         + {damping} * (SELECT COALESCE(SUM(p.rank), 0) FROM {prev} p
+                        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = p.node)) / (SELECT n FROM ncnt)
+         + {damping} * COALESCE(c.in_mass, 0) AS rank
+  FROM nodes nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.rank / d.out_deg) AS in_mass
+             FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON c.node = nd.node
+)"""
+        )
+    return (
+        f"WITH {_FRONTIER_SQL},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM pr{iterations} ORDER BY node"
+    )
+
+
+def _minhash_md5_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 256,
+) -> str:
+    """Value-exact twin of q_minhash_neardups_md5: exact-group pre-pass,
+    tokenize/shingle exactly like textdedup.tokens_col/shingles_col, the
+    md5-arithmetic seeded hashes of _seeded_hash, banding, bucket cap,
+    signature-estimated Jaccard filter, intra pairs at 1.0."""
+    rows = num_hashes // bands
+
+    def md5h(seed: str, expr: str) -> str:
+        return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> {md5h(str(i), 's')}))" for i in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        md5h(
+            f"b{j}",
+            f"array_to_string(list_transform(list_slice(sig, {j * rows + 1}, {j * rows + rows}), v -> CAST(v AS VARCHAR)), ',')",
+        )
+        for j in range(bands)
+    )
+    return f"""
+WITH rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+intra AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+          FROM documents d JOIN rep r ON d.text = r.text WHERE d.doc_id <> r.rep_id),
+toks AS (SELECT rep_id AS id,
+                list_filter(string_split(trim(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), ' '),
+                            x -> x <> '') AS t
+         FROM rep),
+shingled AS (SELECT id,
+                    list_distinct(list_transform(range(1, greatest(len(t) - {shingle_n - 1}, 1) + 1),
+                                  i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + {shingle_n - 1}), ' '))) AS sh
+             FROM toks),
+sigs AS (SELECT id, [
+    {sig_exprs}
+  ] AS sig FROM shingled),
+banded_raw AS (SELECT id, sig, unnest(range({bands})) AS band_id,
+                      unnest([
+    {band_exprs}
+  ]) AS band_hash FROM sigs),
+banded AS (SELECT id, sig, band_id, band_hash
+           FROM (SELECT *, row_number() OVER (PARTITION BY band_id, band_hash ORDER BY id) AS bn
+                 FROM banded_raw)
+           WHERE bn <= {bucket_cap}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+est AS (SELECT id_a, id_b,
+               CAST(len(list_filter(range(1, {num_hashes} + 1),
+                        i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) AS DOUBLE) / {num_hashes} AS ej
+        FROM cand)
+SELECT id_a, id_b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= {threshold}
+UNION ALL
+SELECT id_a, id_b, 1.0 AS est_jaccard FROM intra
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1127,32 +1292,10 @@ intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b, nfp.n AS shared_fps
           FROM docs_rep dr JOIN nfp USING (rep_id) WHERE dr.doc_id != dr.rep_id)
 SELECT * FROM pairs UNION ALL SELECT * FROM intra
 """,
-        "dedup_components": r"""
-WITH RECURSIVE rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
-docs_rep AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
-n AS (SELECT rep_id AS id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM rep),
-g AS (SELECT id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
-                                i -> md5(substr(t, CAST(i AS INT), 8))) AS grams FROM n),
-w AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
-                               j -> list_aggregate(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3), 'min'))) AS fps FROM g),
-fp AS (SELECT id, unnest(fps) AS fp FROM w),
-capped AS (SELECT id, fp FROM (SELECT id, fp, row_number() OVER (PARTITION BY fp ORDER BY id) AS bn FROM fp) WHERE bn <= 256),
-pairs AS (SELECT a.id AS id_a, b.id AS id_b
-          FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
-          GROUP BY a.id, b.id HAVING count(*) >= 40),
-intra AS (SELECT dr.rep_id AS id_a, dr.doc_id AS id_b
-          FROM docs_rep dr WHERE dr.doc_id != dr.rep_id),
-allp AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM intra),
-edges AS (SELECT id_a AS a, id_b AS b FROM allp UNION SELECT id_b AS a, id_a AS b FROM allp),
-reach AS (
-  SELECT a, a AS b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-lab AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
-SELECT component, CAST(count(*) AS BIGINT) AS cluster_size, min(node) AS keep_id
-FROM lab GROUP BY component
-""",
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "pagerank_hosts": _pagerank_oracle_sql(),
+        "minhash_neardups_md5": _minhash_md5_oracle_sql(),
+        "dedup_components_incremental": _DEDUP_COMPONENTS_SQL,
         "exact_dup_flags": """
 WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
 SELECT doc_id, fingerprint,

@@ -189,8 +189,26 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
 
 # --- tier 3: MinHash + LSH ---
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """Array of `num_hashes` minima of seeded xxhash64 over shingles (native).
+def _seeded_hash(seed: str, s: Column, hash_fn: str) -> Column:
+    """Seeded 64-bit hash of a string column.
+
+    ``xxhash64`` (default): JVM-native, fastest — the production path.
+    ``md5``: first 15 md5 hex chars as a long (same trick as
+    operators.sketches._cms_cell) — ~40% slower but reproducible bit-for-bit
+    in DuckDB (``CAST('0x'||substr(md5(...),1,15) AS BIGINT)``), which makes
+    the ENTIRE minhash pipeline oracle-checkable value-for-value instead of
+    golden-tested. Both are uniform enough for LSH banding."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":"), s)), 1, 15), 16, 10).cast(
+            "long"
+        )
+    return F.xxhash64(F.lit(int(seed.lstrip("b"))), s)
+
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3, hash_fn: str = "xxhash64"
+) -> Column:
+    """Array of `num_hashes` minima of seeded hashes over shingles (native).
 
     Built as ONE ``transform`` producing a per-shingle array of all seeded
     hashes, folded with elementwise ``least`` — NOT as `num_hashes` sibling
@@ -200,7 +218,7 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: i
     in tests/test_query_goldens.py)."""
     sh = shingles_col(text_col, shingle_n)
     per_shingle = F.transform(
-        sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+        sh, lambda s: F.array(*[_seeded_hash(str(i), s, hash_fn) for i in range(num_hashes)])
     )
     init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
     return F.aggregate(
@@ -208,12 +226,18 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: i
     )
 
 
-def minhash_bands(sig_col: Column | str, bands: int = 8, rows: int = 4) -> Column:
-    """Band hashes: band j = xxhash64 over its r contiguous signature slots."""
+def minhash_bands(
+    sig_col: Column | str, bands: int = 8, rows: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """Band hashes: band j = seeded hash over its r contiguous signature slots."""
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     return F.array(
         *[
-            F.xxhash64(F.lit(j), F.concat_ws(",", F.transform(F.slice(sig, j * rows + 1, rows), lambda x: x.cast("string"))))
+            _seeded_hash(
+                f"b{j}",
+                F.concat_ws(",", F.transform(F.slice(sig, j * rows + 1, rows), lambda x: x.cast("string"))),
+                hash_fn,
+            )
             for j in range(bands)
         ]
     )
@@ -229,17 +253,20 @@ def minhash_candidate_pairs(
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 256,
     stats_out: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a < id_b, est_jaccard) near-dup pairs: exact groups pair with their
     representative (est_jaccard 1.0); representatives pair via LSH banding
     (≥1 shared band, capped per bucket), filtered by the signature-estimated
-    Jaccard (fraction of agreeing minhashes). See skew-defense note above."""
+    Jaccard (fraction of agreeing minhashes). See skew-defense note above.
+    ``hash_fn='md5'`` makes the whole pipeline DuckDB-reproducible (see
+    :func:`_seeded_hash`)."""
     rows = num_hashes // bands
     reps, intra = _exact_groups(docs, id_col, text_col)
     sigs = reps.select(
         "id",
-        minhash_signature("_text", num_hashes, shingle_n).alias("sig"),
-    ).withColumn("band", F.explode(F.arrays_zip(F.sequence(F.lit(0), F.lit(bands - 1)).alias("band_id"), minhash_bands("sig", bands, rows).alias("band_hash"))))
+        minhash_signature("_text", num_hashes, shingle_n, hash_fn).alias("sig"),
+    ).withColumn("band", F.explode(F.arrays_zip(F.sequence(F.lit(0), F.lit(bands - 1)).alias("band_id"), minhash_bands("sig", bands, rows, hash_fn).alias("band_hash"))))
     banded = sigs.select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap, stats_out)
     a = banded.alias("a")
