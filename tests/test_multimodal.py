@@ -189,3 +189,123 @@ def test_extract_features_real_png(png_media):
     expect = v / np.linalg.norm(v)
     np.testing.assert_allclose(rows[0], expect, rtol=1e-6)
     assert abs(np.linalg.norm(rows[2]) - 1.0) < 1e-5  # WCPM path still unit-norm
+
+
+# --- GIF codec (round 4: second real stdlib media kernel) ---
+
+
+def _quantized_rgb(h, w, levels=5):
+    """Deterministic test image with ≤ levels³ distinct colors (GIF-safe)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (y * levels // max(h, 1)) * (255 // (levels - 1))
+    g = (x * levels // max(w, 1)) * (255 // (levels - 1))
+    b = ((x + y) % levels) * (255 // (levels - 1))
+    return np.stack([r, g, b], axis=2).astype("uint8")
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from web_crawling_prj_spark.functions.gif import decode_screen, gif_decode, gif_encode
+
+    img = _quantized_rgb(23, 37)
+    data = gif_encode(img)
+    assert data[:6] == b"GIF89a"
+    assert decode_screen(data) == (37, 23)
+    np.testing.assert_array_equal(gif_decode(data), img)
+    # big enough to exercise LZW code-width growth past 9 bits
+    big = _quantized_rgb(64, 96, levels=6)
+    np.testing.assert_array_equal(gif_decode(gif_encode(big)), big)
+
+
+def test_gif_interlaced_roundtrip():
+    import numpy as np
+
+    from web_crawling_prj_spark.functions.gif import gif_decode, gif_encode
+
+    img = _quantized_rgb(19, 11)
+    np.testing.assert_array_equal(gif_decode(gif_encode(img, interlace=True)), img)
+
+
+def test_gif_decodes_independent_hand_built_bytes():
+    """Goldens NOT produced by our encoder: (1) the classic 43-byte 1x1
+    tracking pixel (white, GCE extension present); (2) a hand-assembled 2x2
+    four-color image whose LZW stream was packed by hand from the spec."""
+    import numpy as np
+
+    from web_crawling_prj_spark.functions.gif import gif_decode
+
+    pixel = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    np.testing.assert_array_equal(gif_decode(pixel), [[[255, 255, 255]]])
+
+    # 2x2, GCT = [red, green, blue, white], pixels [[R,G],[B,W]].
+    # LZW (min code size 2): codes clear,0,1,2 at 3 bits; after code 2 the
+    # dictionary reaches 8 entries so the width grows — the second clear is
+    # read at 4 bits, then 3,end at 3 bits again:
+    # bits 4|0<<3|1<<6|2<<9|4<<12(4b)|3<<16|5<<19 → 0x44 0x44 0x2B.
+    two = (
+        b"GIF89a\x02\x00\x02\x00\xf1\x00\x00"
+        b"\xff\x00\x00" b"\x00\xff\x00" b"\x00\x00\xff" b"\xff\xff\xff"
+        b"\x2c\x00\x00\x00\x00\x02\x00\x02\x00\x00"
+        b"\x02\x03\x44\x44\x2b\x00\x3b"
+    )
+    np.testing.assert_array_equal(
+        gif_decode(two),
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+    )
+
+
+def test_gif_corrupt_streams_raise():
+    import pytest as _pytest
+
+    from web_crawling_prj_spark.functions.gif import gif_decode, gif_encode
+
+    data = gif_encode(_quantized_rgb(8, 8))
+    with _pytest.raises(ValueError):
+        gif_decode(data[:20])  # truncated before image data
+    with _pytest.raises(ValueError):
+        gif_decode(b"NOTGIF" + data[6:])
+
+
+@pytest.fixture(scope="module")
+def gif_media(spark):
+    from web_crawling_prj_spark.functions.gif import gif_encode
+
+    blobs = [(0, bytearray(gif_encode(_quantized_rgb(24, 36))))]
+    df = spark.createDataFrame(blobs, "doc_id long, media binary")
+    wcpm = (
+        spark.createDataFrame([(1, 2)], "doc_id long, mtype int")
+        .withColumn("media", synth_media_udf("doc_id", "mtype"))
+        .drop("mtype")
+    )
+    return df.unionByName(wcpm)
+
+
+def test_decode_metadata_real_gif(gif_media):
+    meta = {r.doc_id: r for r in decode_metadata(gif_media).collect()}
+    assert (meta[0].media_type, meta[0].width, meta[0].height) == ("image", 36, 24)
+    assert meta[1].media_type == "video"  # WCPM path untouched
+
+
+def test_resize_and_features_real_gif(gif_media):
+    import numpy as np
+
+    from web_crawling_prj_spark.functions.gif import gif_decode
+    from web_crawling_prj_spark.functions.png import resize_nearest
+
+    out = {r.doc_id: bytes(r.media) for r in resize_images(gif_media, max_side=12).collect()}
+    src = _quantized_rgb(24, 36)
+    np.testing.assert_array_equal(gif_decode(out[0]), resize_nearest(src, 12))
+
+    rows = {r.doc_id: np.array(r.feature) for r in extract_features(gif_media, dim=16).collect()}
+    img = src.astype(np.float64).mean(axis=2)
+    v = resize_nearest(img, 4).reshape(-1)[:16]
+    v = np.pad(v, (0, 16 - len(v)))  # 24x36 pools to a 2x4 grid → pad
+    expect = v / np.linalg.norm(v)
+    np.testing.assert_allclose(rows[0], expect, rtol=1e-6)

@@ -59,11 +59,14 @@ def synth_media_udf(doc_id: pd.Series, mtype: pd.Series) -> pd.Series:
 
 
 # magics of real media containers this container CANNOT decode (no PIL/av):
-# JPEG, GIF, BMP, RIFF (WAV/AVI/WebP), MP4 ftyp at offset 4, Ogg, MP3 ID3
-_REAL_MEDIA_MAGICS = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM", b"RIFF", b"OggS", b"ID3")
+# JPEG, BMP, RIFF (WAV/AVI/WebP), MP4 ftyp at offset 4, Ogg, MP3 ID3.
+# PNG and GIF are NOT here — functions.png / functions.gif decode them for
+# real, stdlib-only.
+_REAL_MEDIA_MAGICS = (b"\xff\xd8\xff", b"BM", b"RIFF", b"OggS", b"ID3")
 
 
 def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, int]:
+    from web_crawling_prj_spark.functions.gif import GIF_MAGICS, decode_screen
     from web_crawling_prj_spark.functions.png import PNG_MAGIC, decode_ihdr
 
     # classify the blob FIRST: null/garbage is a DATA error (ValueError) under
@@ -76,6 +79,9 @@ def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, in
         raise ValueError("null or truncated media blob")
     if blob[:8] == PNG_MAGIC:  # real image: stdlib parse under any backend
         w, h, _, _ = decode_ihdr(bytes(blob))
+        return "image", w, h, 0
+    if blob[:6] in GIF_MAGICS:  # real image: stdlib parse under any backend
+        w, h = decode_screen(bytes(blob))
         return "image", w, h, 0
     if blob[:4] == _MAGIC:  # synthetic self-describing WCPM header
         if len(blob) < 17:
@@ -128,6 +134,7 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
     """
     import math
 
+    from web_crawling_prj_spark.functions.gif import GIF_MAGICS, gif_decode
     from web_crawling_prj_spark.functions.png import PNG_MAGIC, png_decode, resize_nearest
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
@@ -141,8 +148,9 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
         for pdf in it:
             feats = []
             for b in pdf[blob_col]:
-                if b[:8] == PNG_MAGIC:
-                    img = png_decode(bytes(b)).astype(np.float64)
+                if b[:8] == PNG_MAGIC or bytes(b[:6]) in GIF_MAGICS:
+                    decode = png_decode if b[:8] == PNG_MAGIC else gif_decode
+                    img = decode(bytes(b)).astype(np.float64)
                     if img.ndim == 3:
                         img = img.mean(axis=2)  # luminance
                     v = resize_nearest(img, grid).reshape(-1)[:dim]
@@ -172,6 +180,7 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
     stdlib decode → nearest-neighbor resample → re-encode (functions.png).
     WCPM synthetic blobs rewrite the self-describing header dims (the fake
     backend's stand-in for a JPEG/etc. re-encode)."""
+    from web_crawling_prj_spark.functions.gif import GIF_MAGICS, gif_decode, gif_encode
     from web_crawling_prj_spark.functions.png import (
         PNG_MAGIC,
         png_decode,
@@ -189,6 +198,9 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
             for b in pdf[blob_col]:
                 if b[:8] == PNG_MAGIC:  # real pixels, real resample
                     out.append(png_encode(resize_nearest(png_decode(bytes(b)), max_side)))
+                    continue
+                if bytes(b[:6]) in GIF_MAGICS:  # real pixels, real re-encode
+                    out.append(gif_encode(resize_nearest(gif_decode(bytes(b)), max_side)))
                     continue
                 mt, w, h, dur = _parse_header(b, backend)
                 scale = min(1.0, max_side / max(w, h))
