@@ -117,6 +117,7 @@ def bench_frontier_core_bucketed(
     num_buckets: int = 32,
     runs: int = 5,
     schedule: bool = True,
+    prefilter: bool = False,
 ) -> dict:
     """Steady-state frontier core on the ROUND-3 layout: frontier and seen-set
     stored as bucketed+sorted tables on url_hash (what crawl_store maintains
@@ -161,7 +162,13 @@ def bench_frontier_core_bucketed(
             # per-stage scaling accounting: full-core minus this is exactly
             # the politeness rank's two designed exchanges
             out = (
-                schedule_round(pending, budgets, n_salts=n_salts, default_budget=budget)
+                schedule_round(
+                    pending,
+                    budgets,
+                    n_salts=n_salts,
+                    default_budget=budget,
+                    threshold_prefilter=prefilter,
+                )
                 if schedule
                 else pending
             )
@@ -180,6 +187,7 @@ def bench_frontier_core_bucketed(
         "rate": round(n / wall, 1),
         "layout_setup_s": setup_s,
         "num_buckets": num_buckets,
+        "prefilter": prefilter,
     }
 
 

@@ -566,3 +566,34 @@ def test_delta_mode_commit_volume_tracks_churn_not_frontier(spark, tmp_path, cra
     assert live.count() > 0
     assert live.groupBy("url_hash").count().where("count > 1").count() == 0
     shutil.rmtree(str(tmp_path / "churn"))
+
+
+def test_rank_prefilter_auto_threshold(spark, tmp_path, crawl_inputs):
+    """Tri-state rank_prefilter: explicit settings win; None auto-enables by
+    driver-side frontier-footprint estimate, and a crawl forced over the
+    threshold schedules identically (the pushdown is exact by construction)."""
+    import dataclasses
+
+    from web_crawling_prj_spark.plans.crawl_round import _resolve_prefilter
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = crawl_store(str(tmp_path / "pfauto"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
+    assert _resolve_prefilter(store, cfg) is False  # tiny store, default crossover
+    low = dataclasses.replace(cfg, rank_prefilter_auto_min_rows=1)
+    low.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    assert _resolve_prefilter(store, low) is True
+    assert _resolve_prefilter(store, dataclasses.replace(cfg, rank_prefilter=True)) is True
+    assert (
+        _resolve_prefilter(
+            store, dataclasses.replace(cfg, rank_prefilter=False, rank_prefilter_auto_min_rows=1)
+        )
+        is False
+    )
+    a = crawl_store(str(tmp_path / "pfauto_on"), low)
+    run_crawl(spark, a, pages, robots, seeds, rounds=3, cfg=low)
+    b = crawl_store(str(tmp_path / "pfauto_off"), cfg)
+    run_crawl(spark, b, pages, robots, seeds, rounds=3, cfg=cfg)
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / "pfauto_on"))
+    shutil.rmtree(str(tmp_path / "pfauto_off"))

@@ -31,6 +31,7 @@ local[32] and across kill/resume (tests/test_crawl_round.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -101,10 +102,15 @@ class CrawlConfig:
     # pointer swap, old dirs kept).
     compact_every: int = 8
     # sampled top-k pushdown before the politeness rank (exact via rescue
-    # pass — politeness.schedule_round(threshold_prefilter=)). Off by
-    # default: its fixed sample jobs only amortize on large rounds (measured
-    # 2.1× at 8 cores / 16M rows; a wash below that — BENCH/SCALING.md r3).
-    rank_prefilter: bool = False
+    # pass — politeness.schedule_round(threshold_prefilter=)). Tri-state:
+    # True/False force it; None (default) auto-enables when the committed
+    # frontier's on-disk size implies ≥ rank_prefilter_auto_min_rows live
+    # rows — the measured crossover where the pushdown's fixed sample jobs
+    # amortize (BENCH/SCALING.md r4; 2.1× at 8 cores / 16M rows, a wash
+    # below that). The estimate is driver-side file-size arithmetic: no
+    # count() job, no data read.
+    rank_prefilter: bool | None = None
+    rank_prefilter_auto_min_rows: int = 64_000_000
     # commit frontier CHANGES (adds + key tombstones in `frontier_log`)
     # instead of rewriting the full `frontier` table every round — per-round
     # commit bytes ∝ round churn, not frontier size (the 10^10-row backlog
@@ -387,6 +393,41 @@ def _link_lineage(
     return edges.select("src_url_hash", "url_hash")
 
 
+#: zstd-parquet bytes per frontier row, measured on the bench layout (16M
+#: rows → ~1.0 GB). Only feeds the prefilter auto-enable ESTIMATE — a 2×
+#: error moves the crossover 2×, which the wide wash region tolerates.
+_FRONTIER_BYTES_PER_ROW_EST = 64
+
+
+def _resolve_prefilter(store: StateStore, cfg: CrawlConfig) -> bool:
+    """Tri-state rank_prefilter: explicit setting wins; None auto-enables
+    when the committed frontier's on-disk footprint implies the live row
+    count has crossed the measured amortization threshold. Driver-side
+    os.walk over the store dirs — no Spark job."""
+    if cfg.rank_prefilter is not None:
+        return cfg.rank_prefilter
+    table = "frontier_log" if cfg.frontier_deltas else "frontier"
+    total = 0
+    base = os.path.join(store.root, f"{table}__base")
+    per_round = os.path.join(store.root, table)
+    for root_dir in (base, per_round):
+        if not os.path.isdir(root_dir):
+            continue
+        for dp, _dn, fns in os.walk(root_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(dp, fn))
+                    except OSError:
+                        pass
+    if not cfg.frontier_deltas and store.last_committed_round() is not None:
+        # legacy layout keeps every round's full frontier on disk; only the
+        # LAST round is live state
+        n_dirs = max(1, len(store.committed_rounds()))
+        total = total // n_dirs
+    return total >= cfg.rank_prefilter_auto_min_rows * _FRONTIER_BYTES_PER_ROW_EST
+
+
 def _use_bloom(store: StateStore, cfg: CrawlConfig) -> bool:
     """Bloom tier is the PLAIN-layout optimization; the bucketed layout
     replaces it structurally (see pending_frontier step 2)."""
@@ -483,7 +524,7 @@ def _run_round(
         budgets,
         n_salts=cfg.n_salts,
         default_budget=cfg.default_budget,
-        threshold_prefilter=cfg.rank_prefilter,
+        threshold_prefilter=_resolve_prefilter(store, cfg),
         persisted=persisted,
     ).persist()
     persisted.append(scheduled)
