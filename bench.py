@@ -161,6 +161,9 @@ def bench_frontier_core_bucketed(
             # schedule=False isolates the shuffle-free dedup stage for the
             # per-stage scaling accounting: full-core minus this is exactly
             # the politeness rank's two designed exchanges
+            pers = []  # the round-lifecycle list run_round would own: the
+            # prefilter's internal winners cache is released AFTER the
+            # consuming action, exactly like the real crawl round
             out = (
                 schedule_round(
                     pending,
@@ -168,12 +171,15 @@ def bench_frontier_core_bucketed(
                     n_salts=n_salts,
                     default_budget=budget,
                     threshold_prefilter=prefilter,
+                    persisted=pers,
                 )
                 if schedule
                 else pending
             )
             n_sched = out.count()
             walls.append(round(time.time() - t0, 3))
+            for df in pers:
+                df.unpersist()
     finally:
         spark.sql("DROP TABLE IF EXISTS bench_fr_bkt")
         spark.sql("DROP TABLE IF EXISTS bench_seen_bkt")

@@ -83,11 +83,14 @@ def schedule_round(
     while rows were cut re-ranks its FULL row set (see
     :func:`_rescue_hosts_for_exactness`); ties at the threshold are always
     kept, so the kept set provably contains the true winners whenever the
-    count reaches the budget. Measured at 16M rows this is the first variant
-    that beats the baseline at BOTH parallelism levels (8c 6.1→3.1 s, 32c
-    3.0→2.1 s) — it cuts the rank-shuffle rows ~6–10×; its fixed sample/
-    threshold jobs are the reason it stays opt-in for small rounds, and they
-    amortize to nothing at 10^9-row frontiers.
+    count reaches the budget. It cuts the rank-shuffle ROWS ~6–10× at the
+    cost of one extra full scan + the sample/threshold jobs. Round-4 honest
+    measurement (BENCH/SCALING.md, winners-cache lifecycle fixed): on this
+    single-node VM the pushdown LOSES at every point tried (16M–64M rows,
+    8 and 32 cores, 0.23–0.80×) — the earlier "2.1× at 8 cores" was the
+    leaked cache serving later best-of runs. It stays available for
+    network-bound clusters where shuffle bytes, not the local memory bus,
+    price the rank; measure before enabling (CrawlConfig.rank_prefilter).
     """
     slim_cols = pending.select("url_hash", "host", "priority") if slim else pending
     p = slim_cols.join(

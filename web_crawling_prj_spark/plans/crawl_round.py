@@ -105,12 +105,17 @@ class CrawlConfig:
     # pass — politeness.schedule_round(threshold_prefilter=)). Tri-state:
     # True/False force it; None (default) auto-enables when the committed
     # frontier's on-disk size implies ≥ rank_prefilter_auto_min_rows live
-    # rows — the measured crossover where the pushdown's fixed sample jobs
-    # amortize (BENCH/SCALING.md r4; 2.1× at 8 cores / 16M rows, a wash
-    # below that). The estimate is driver-side file-size arithmetic: no
-    # count() job, no data read.
+    # rows (driver-side file-size arithmetic: no count() job, no data read).
+    # HONEST MEASUREMENT NOTE (round 4, BENCH/SCALING.md): with the winners-
+    # cache leak fixed, the pushdown LOSES at every measured point on this
+    # VM (0.23–0.80× at 16M–64M rows, both parallelism levels) — round 3's
+    # "2.1× at 8 cores" was the leaked cache serving later best-of runs. The
+    # default crossover therefore sits beyond the measured range; it exists
+    # for real clusters whose rank shuffle is network-bound (where cutting
+    # shuffle rows 6–10× is the win this VM's shared memory bus never shows)
+    # — measure there before lowering it.
     rank_prefilter: bool | None = None
-    rank_prefilter_auto_min_rows: int = 64_000_000
+    rank_prefilter_auto_min_rows: int = 1_000_000_000
     # commit frontier CHANGES (adds + key tombstones in `frontier_log`)
     # instead of rewriting the full `frontier` table every round — per-round
     # commit bytes ∝ round churn, not frontier size (the 10^10-row backlog
