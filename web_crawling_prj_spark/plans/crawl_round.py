@@ -245,7 +245,11 @@ def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
 
 
 def live_frontier(
-    spark: SparkSession, store: StateStore, upto_round: int, cfg: CrawlConfig
+    spark: SparkSession,
+    store: StateStore,
+    upto_round: int,
+    cfg: CrawlConfig,
+    persisted: list | None = None,
 ) -> DataFrame:
     """The live frontier as of committed round ``upto_round``, either mode.
 
@@ -269,6 +273,13 @@ def live_frontier(
         )
     if deltas:
         resolved = _resolve_recent_log(deltas, cfg.num_buckets)
+        if persisted is not None:
+            # the resolved events are delta-sized and feed MANY consumers in
+            # a round (pending branch, the base's tombstone-key broadcast,
+            # the deferred split, incumbent lookups) — one round-scoped cache
+            # stops each consumer re-reading every per-round log dir
+            resolved = resolved.persist()
+            persisted.append(resolved)
         recent_live = resolved.where(~F.col("is_del")).select(*FRONTIER_COLS)
         if live is not None:
             keys = resolved.select("url_hash")
@@ -289,6 +300,7 @@ def pending_frontier(
     round_id: int,
     cfg: CrawlConfig,
     bcasts: list,
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame, "object"]:
     """Steps 0–2 of a round: read the committed frontier, split by backoff
     eligibility, and dedup vs the seen-set → (pending, deferred, bloom).
@@ -303,7 +315,7 @@ def pending_frontier(
     (tests/test_plan_shapes.py pins both shapes on this exact function)."""
     round_ts = cfg.round_ts(round_id)
     if cfg.frontier_deltas:
-        frontier = live_frontier(spark, store, round_id - 1, cfg)
+        frontier = live_frontier(spark, store, round_id - 1, cfg, persisted=persisted)
     else:
         frontier = store.read_round(spark, "frontier", round_id - 1)
         seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
@@ -450,7 +462,9 @@ def _run_round(
     bcasts: list,
 ) -> dict:
     round_ts = cfg.round_ts(round_id)
-    pending, deferred, bloom = pending_frontier(spark, store, round_id, cfg, bcasts)
+    pending, deferred, bloom = pending_frontier(
+        spark, store, round_id, cfg, bcasts, persisted=persisted
+    )
 
     # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
     # HERE (not after the circuit split) so the quarantined branch does not
