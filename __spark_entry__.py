@@ -662,6 +662,30 @@ def q_minhash_neardups_md5(spark, sf_dir):
     )
 
 
+def q_embedding_top_neighbor(spark, sf_dir):
+    """Exact nearest-neighbor graph over the embedding table: each vector's
+    top-1 cosine neighbor via the brute-force operator (the dedup/similarity
+    family's correctness baseline — the LSH/IVF tiers are its approximations).
+    Oracle: the same all-pairs cosine in DuckDB (both sides cast to double
+    element-wise and round before ranking, so the argmax is stable)."""
+    from web_crawling_prj_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    top2 = brute_force_topk(e, q, k=2)  # rank 1 is the vector itself (cos 1.0)
+    nn = top2.where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        nn.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+
+
 def q_dedup_components_incremental(spark, sf_dir):
     """Incremental transitive dedup (operators.graph.incremental_components):
     the winnowing dup pairs arrive in TWO batches; batch 1 is clustered in
@@ -826,11 +850,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_deciles": q_order_value_deciles,
         "dedup_components": q_dedup_components,  # oracle: winnowing twin + recursive closure
         "dedup_components_incremental": q_dedup_components_incremental,  # increment ≡ full
+        "embedding_top_neighbor": q_embedding_top_neighbor,  # exact NN graph, value-exact
         "minhash_neardups_md5": q_minhash_neardups_md5,  # md5 variant: full pipeline oracle
         "pagerank_hosts": q_pagerank_hosts,  # oracle: unrolled 8-iteration power method
-        # rows-only (non-SQL-expressible: LSH randomness, UDF kernels, stateful rounds)
+        "simhash_pairs": q_simhash_pairs,  # FNV-1a reimplemented in SQL — value-exact
+        # rows-only (non-SQL-expressible: xxhash64 signatures, seeded LSH planes,
+        # synthetic media, stateful rounds)
         "minhash_neardups": q_minhash_neardups,
-        "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
@@ -1294,6 +1320,62 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
 """,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
+        # simhash_pairs: the FULL pipeline twin — FNV-1a re-implemented in SQL
+        # (UBIGINT xor + HUGEINT modular multiply, verified bit-for-bit), bit
+        # votes, two's-complement packing, 16-bit banding, bucket cap,
+        # hamming <= 3 via bit_count(xor). Upgrades the query from rows-only.
+        "simhash_pairs": r"""
+WITH rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+intra AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+          FROM documents d JOIN rep r ON d.text = r.text WHERE d.doc_id <> r.rep_id),
+toks AS (SELECT rep_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM rep),
+th AS (SELECT id, unnest(t) AS tok FROM toks),
+hh AS (SELECT id, list_reduce(
+          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+            list_transform(range(1, len(tok) + 1),
+                           i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS UBIGINT))),
+          (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
+       FROM th),
+bits AS (SELECT id, u.i AS bit, CAST((h >> CAST(u.i AS INT)) & 1 AS INT) AS v
+         FROM hh, (SELECT unnest(range(64)) AS i) u),
+votes AS (SELECT id, bit, sum(v) AS ones, count(*) AS n FROM bits GROUP BY id, bit),
+sims_u AS (SELECT id,
+                  CAST(sum(CASE WHEN 2 * ones > n
+                                THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT)
+                                ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS su
+           FROM votes GROUP BY id),
+sims AS (SELECT t.id,
+                COALESCE(s.su, CAST(0 AS HUGEINT)) AS su,
+                CASE WHEN COALESCE(s.su, CAST(0 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN CAST(COALESCE(s.su, CAST(0 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) AS BIGINT)
+                     ELSE CAST(COALESCE(s.su, CAST(0 AS HUGEINT)) AS BIGINT) END AS simhash
+         FROM toks t LEFT JOIN sims_u s ON s.id = t.id),
+banded_raw AS (SELECT id, simhash, su, unnest([0, 1, 2, 3]) AS band_id FROM sims),
+banded AS (SELECT id, simhash, band_id,
+                  CAST((CAST(su % 18446744073709551616 AS UBIGINT) >> CAST(band_id * 16 AS INT)) & 65535 AS BIGINT) AS band_val
+           FROM banded_raw),
+capped AS (SELECT id, simhash, band_id, band_val
+           FROM (SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY id) AS bn FROM banded)
+           WHERE bn <= 256),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+         FROM capped a JOIN capped b
+           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+UNION ALL
+SELECT id_a, id_b, 0 AS hamming FROM intra
+""",
+        "embedding_top_neighbor": """
+WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+nm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+sc AS (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+       FROM nm a JOIN nm b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nbr, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr ASC) AS rk
+      FROM sc)
+SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM r WHERE rk = 1
+""",
         "minhash_neardups_md5": _minhash_md5_oracle_sql(),
         "dedup_components_incremental": _DEDUP_COMPONENTS_SQL,
         "exact_dup_flags": """
