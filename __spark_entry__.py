@@ -686,6 +686,22 @@ def q_embedding_top_neighbor(spark, sf_dir):
     )
 
 
+def q_ann_lsh_md5_topk(spark, sf_dir):
+    """ANN with the md5-Rademacher deterministic planes (zero-Python codegen
+    signature, operators.similarity.hyperplane_signature_native): bucket on
+    the 8-bit sign signature, exact cosine re-rank within the query's bucket.
+    Unlike the seeded-Gaussian variant (recall-gated rows-only), every hash
+    here is DuckDB arithmetic, so the full ANN path is value-exact."""
+    from web_crawling_prj_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucketed_topk(e, q, dim=dim, k=5, n_planes=8, planes="md5")
+
+
 def q_dedup_components_incremental(spark, sf_dir):
     """Incremental transitive dedup (operators.graph.incremental_components):
     the winnowing dup pairs arrive in TWO batches; batch 1 is clustered in
@@ -851,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,  # oracle: winnowing twin + recursive closure
         "dedup_components_incremental": q_dedup_components_incremental,  # increment ≡ full
         "embedding_top_neighbor": q_embedding_top_neighbor,  # exact NN graph, value-exact
+        "ann_lsh_md5_topk": q_ann_lsh_md5_topk,  # deterministic-plane ANN, value-exact
         "minhash_neardups_md5": q_minhash_neardups_md5,  # md5 variant: full pipeline oracle
         "pagerank_hosts": q_pagerank_hosts,  # oracle: unrolled 8-iteration power method
         "simhash_pairs": q_simhash_pairs,  # FNV-1a reimplemented in SQL — value-exact
@@ -1320,6 +1337,28 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
 """,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
+        "ann_lsh_md5_topk": r"""
+WITH planes AS (
+  SELECT j, list_transform(range(64), i ->
+           CASE WHEN CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS s
+  FROM (SELECT unnest(range(8)) AS j)
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+proj AS (SELECT v.vec_id, v.v,
+                CAST(sum(CASE WHEN list_dot_product(v.v, p.s) >= 0
+                              THEN (CAST(1 AS BIGINT) << CAST(p.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         FROM v, planes p GROUP BY v.vec_id, v.v),
+nm AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM proj),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM nm WHERE vec_id < 8),
+sc AS (SELECT q.query_id, e.vec_id,
+              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cos_sim
+       FROM nm e JOIN q ON e.bucket = q.bucket),
+r AS (SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+      FROM sc)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 5
+""",
         # simhash_pairs: the FULL pipeline twin — FNV-1a re-implemented in SQL
         # (UBIGINT xor + HUGEINT modular multiply, verified bit-for-bit), bit
         # votes, two's-complement packing, 16-bit banding, bucket cap,

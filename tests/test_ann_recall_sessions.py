@@ -122,3 +122,31 @@ def test_ivf_topk_planted_recall_and_determinism(spark):
     r1 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect())
     r2 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect())
     assert r1 == r2
+
+
+def test_md5_plane_lsh_self_recall_and_determinism(spark, emb):
+    """The md5-Rademacher deterministic-plane variant: every query finds
+    ITSELF at rank 1 (same bucket by construction, cosine 1.0), buckets are
+    identical across partitioning (pure column math, no seeded state), and
+    the signature column contains no Python eval node."""
+    from web_crawling_prj_spark.operators.similarity import hyperplane_signature_native
+
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = lsh_bucketed_topk(emb, q, dim=dim, k=5, n_planes=8, planes="md5")
+    r1 = {r.query_id: r.vec_id for r in top.where(F.col("rank") == 1).collect()}
+    assert r1 == {i: i for i in range(10)}  # self always rank 1
+    sig = emb.select(hyperplane_signature_native(F.col("embedding"), dim, 8).alias("b"))
+    a = sig.collect()
+    b = emb.repartition(7).select(
+        hyperplane_signature_native(F.col("embedding"), dim, 8).alias("b")
+    ).collect()
+    assert sorted(x.b for x in a) == sorted(x.b for x in b)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sig.explain()
+    assert "Python" not in buf.getvalue()  # pure codegen, no Arrow/UDF eval

@@ -87,6 +87,42 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = SEED):
     return _sig
 
 
+def rademacher_planes_md5(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity: plane j, component i =
+    +1 iff md5("i:j")'s first 60 bits are even. Rademacher projections are a
+    standard Johnson-Lindenstrauss/SimHash choice (same concentration bounds
+    as Gaussian planes up to constants); the md5 derivation makes the WHOLE
+    LSH pipeline reproducible in DuckDB, so the ANN path gets a value-exact
+    oracle instead of only recall gates."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_signature_native(vec_col: Column | str, dim: int, n_planes: int = 8) -> Column:
+    """Vector → n-bit sign signature with NO Python at all: the md5-Rademacher
+    plane matrix is built driver-side and embedded as literal arrays, each
+    projection is a codegen'd aggregate(zip_with(...)) fold, and the bucket id
+    packs the sign bits. The fold order matches DuckDB's list_dot_product, so
+    signatures are bit-identical across engines."""
+    signs = rademacher_planes_md5(dim, n_planes)
+    v = _vec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j, s in enumerate(signs):
+        prods = F.zip_with(
+            v, F.array(*[F.lit(x) for x in s]), lambda x, y: x.cast("double") * y
+        )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
 def probe_buckets_udf(dim: int, n_planes: int, n_probes: int, seed: int = SEED):
     """Arrow UDF: query vector → array of probe buckets (true multi-probe LSH:
     the base bucket plus flips of the ``n_probes-1`` LEAST-CONFIDENT sign bits,
@@ -126,6 +162,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    planes: str = "gaussian",
 ) -> DataFrame:
     """ANN: bucket by hyperplane signature, exact re-rank within probed buckets.
 
@@ -136,7 +173,30 @@ def lsh_bucketed_topk(
     hyperplanes its vector lies closest to) — recall climbs steeply for
     near-hyperplane vectors at linear extra cost. Use brute_force_topk as the
     gold standard for recall measurement.
+
+    ``planes='md5'`` swaps the seeded Gaussian planes for the deterministic
+    md5-Rademacher signature (:func:`hyperplane_signature_native` — pure
+    codegen, no Python) whose buckets DuckDB reproduces bit-for-bit; single
+    probe only (margins are equally expressible but the oracle query keeps
+    the simple shape).
     """
+    if planes == "md5":
+        sig_col = hyperplane_signature_native(F.col(vec_col), dim, n_planes)
+        emb_b = embeddings.withColumn("bucket", sig_col)
+        q_b = queries.withColumn(
+            "bucket", hyperplane_signature_native(F.col(query_vec_col), dim, n_planes)
+        )
+        scored = (
+            emb_b.join(F.broadcast(q_b), "bucket")
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+            )
+            .dropDuplicates([query_id_col, id_col])
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     sig = hyperplane_signature_udf(dim, n_planes)
     emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col)))
     if n_probes > 1:
