@@ -211,13 +211,26 @@ def test_png_path_is_backend_independent(spark):
     wcpm_df = spark.createDataFrame([(1, 0)], "doc_id long, mtype int").withColumn(
         "media", mm.synth_media_udf("doc_id", "mtype")
     ).drop("mtype")
+    jpeg_df = spark.createDataFrame(
+        [(2, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32))], "doc_id long, media binary"
+    )
+    junk_df = spark.createDataFrame(
+        [(3, bytearray(b"not media at all, truly"))], "doc_id long, media binary"
+    )
     old = mm.DECODE_BACKEND
     try:
         mm.DECODE_BACKEND = "real"
         rows = mm.decode_metadata(png_df).collect()
         assert rows[0].media_type == "image" and rows[0].width == 8
+        # r3 ADVICE contract: classify the blob FIRST. WCPM is our own
+        # self-describing format → parses under any backend; a structurally
+        # plausible real container (JPEG magic) is the environment gap; junk
+        # is a DATA error, never misreported as an environment gap.
+        assert mm.decode_metadata(wcpm_df).collect()[0].media_type == "image"
         with pytest.raises(Exception, match="NotImplementedError|PIL"):
-            mm.decode_metadata(wcpm_df).collect()
+            mm.decode_metadata(jpeg_df).collect()
+        with pytest.raises(Exception, match="ValueError|not a WCPM"):
+            mm.decode_metadata(junk_df).collect()
     finally:
         mm.DECODE_BACKEND = old
 
