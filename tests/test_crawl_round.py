@@ -597,3 +597,19 @@ def test_rank_prefilter_auto_threshold(spark, tmp_path, crawl_inputs):
     assert _final_state(a, spark) == _final_state(b, spark)
     shutil.rmtree(str(tmp_path / "pfauto_on"))
     shutil.rmtree(str(tmp_path / "pfauto_off"))
+
+
+def test_frontier_mode_mismatch_refused_on_resume(spark, tmp_path, crawl_inputs):
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    store = crawl_store(str(tmp_path / "mm1"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)  # delta layout
+    legacy = dataclasses.replace(cfg, frontier_deltas=False)
+    legacy.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    with pytest.raises(ValueError, match="frontier_deltas=True"):
+        run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=legacy)
+    store2 = crawl_store(str(tmp_path / "mm2"), legacy)
+    run_crawl(spark, store2, pages, robots, seeds, rounds=1, cfg=legacy)
+    with pytest.raises(ValueError, match="frontier_deltas=False"):
+        run_crawl(spark, store2, pages, robots, seeds, rounds=2, cfg=cfg)

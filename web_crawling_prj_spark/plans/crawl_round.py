@@ -804,6 +804,24 @@ def run_crawl(
 
     cfg = cfg or CrawlConfig()
     last = store.last_committed_round()
+    if last is not None:
+        # a store is created in one frontier layout and stays in it: resuming
+        # with the other mode would silently read an empty frontier — refuse
+        # up front with the fix in the message (same spirit as the bucket
+        # layout drift guard in statestore)
+        committed = store.manifest(last).get("tables", [])
+        has_log = "frontier_log" in committed or store.base_upto("frontier_log") is not None
+        has_full = "frontier" in committed
+        if cfg.frontier_deltas and has_full and not has_log:
+            raise ValueError(
+                "store was created with frontier_deltas=False (full-rewrite "
+                "layout); resume with CrawlConfig(frontier_deltas=False)"
+            )
+        if not cfg.frontier_deltas and has_log and not has_full:
+            raise ValueError(
+                "store was created with frontier_deltas=True (event-log "
+                "layout); resume with CrawlConfig(frontier_deltas=True)"
+            )
     if last is None:
         init_crawl(spark, store, seeds, cfg)
         last = 0
