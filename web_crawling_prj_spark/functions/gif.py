@@ -104,7 +104,15 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
 
 
 def gif_decode(data: bytes) -> np.ndarray:
-    """First frame → (H, W, 3) uint8 RGB array."""
+    """First frame → (H, W, 3) uint8 RGB array. Truncated/corrupt streams
+    raise ValueError (data error), never Index/struct errors."""
+    try:
+        return _gif_decode(data)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt GIF: {ex}") from ex
+
+
+def _gif_decode(data: bytes) -> np.ndarray:
     w, h = decode_screen(data)
     flags, _bg, _aspect = data[10], data[11], data[12]
     pos = 13
