@@ -696,6 +696,9 @@ def q_ann_lsh_md5_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
+    # the DuckDB twin builds its plane matrix statically (oracle_sql cannot
+    # read data) — both sides must agree on the testdata's fixed dim
+    assert dim == 64, f"ann_lsh_md5_topk oracle assumes dim=64, got {dim}"
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

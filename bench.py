@@ -36,9 +36,11 @@ N_HOSTS = 9973
 HOT_PCT = 20  # % of URLs on one hot host — the skew the salted rank must defeat
 
 
-def synthetic_frontier(spark, n: int):
-    """Deterministic frontier of n URLs: url/host/priority, Zipf-ish host skew."""
-    base = spark.range(n)
+def synthetic_frontier(spark, n: int, lo: int = 0):
+    """Deterministic frontier of URLs with ids in [lo, n): url/host/priority,
+    Zipf-ish host skew. Every bench derives its rows HERE so they all measure
+    the same distribution (the skew drives the politeness-rank cost)."""
+    base = spark.range(lo, n)
     mixed = F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1))
     host_id = F.when(mixed % 100 < HOT_PCT, F.lit(0)).otherwise(mixed % N_HOSTS)
     host = F.format_string("host-%05d.example", host_id)
@@ -221,17 +223,14 @@ def bench_frontier_commit(
     )
 
     def frontier_rows(lo: int, hi: int):
-        # synthetic_frontier's URL/host shape, full FRONTIER_COLS, ids in [lo, hi)
-        mixed = F.pmod(F.col("id") * 2654435761 + 42, F.lit(2**31 - 1))
-        host_id = F.when(mixed % 100 < HOT_PCT, F.lit(0)).otherwise(mixed % N_HOSTS)
-        host = F.format_string("host-%05d.example", host_id)
-        url = F.format_string("https://%s/p/%d?id=%d&ref=bench", host, F.col("id"), F.col("id"))
-        return spark.range(lo, hi).select(
-            url.alias("url"),
-            url.alias("url_canon"),
-            url_hash(url).alias("url_hash"),
-            host.alias("host"),
-            (mixed % 100_000 / 100_000.0).alias("priority"),
+        # the bench's one frontier shape (synthetic_frontier), widened to the
+        # crawl's full FRONTIER_COLS schema
+        return synthetic_frontier(spark, hi, lo=lo).select(
+            F.col("url_canon").alias("url"),
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
             F.lit(0).alias("depth"),
             F.lit(None).cast("timestamp").alias("discovered_ts"),
             F.lit(None).cast("long").alias("src_url_hash"),

@@ -86,6 +86,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
         if code == end:
             break
         if prev is None:
+            if code not in table:  # first code after a clear must be a literal
+                raise ValueError("corrupt GIF LZW stream: code out of range")
             entry = table[code]
         elif code in table:
             entry = table[code]

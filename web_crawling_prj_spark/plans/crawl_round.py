@@ -212,22 +212,15 @@ def run_round(
             b.destroy()
 
 
-def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
-    """Per-key latest event over the un-folded frontier_log rounds.
-
-    Union of the per-round logs (delta-sized: Σ round churn since the last
-    fold), ONE repartition to the frontier's bucket layout, then
-    max(struct(evt_round, is_add, state)): the newest round wins, an add
-    beats a del within its own round (the del tombstones OLDER versions; its
-    round's replacement row supersedes it). Returns the resolved events —
-    winner state for keys whose latest event is an add, winner is_del=true
-    rows marking keys whose latest event is a tombstone. Output partitioning
-    is HashPartitioning(url_hash, num_buckets), so downstream joins against
-    the bucketed base/seen tables co-locate."""
-    ev = deltas[0]
-    for d in deltas[1:]:
-        ev = ev.unionByName(d)
-    packed = ev.repartition(num_buckets, "url_hash").select(
+def _resolve_events(log: DataFrame) -> DataFrame:
+    """THE latest-event-wins resolution — the one place its ordering lives
+    (the live read path and the compaction resolver MUST agree or increment
+    ≡ full breaks): max(struct(evt_round, is_add, state)) per key — the
+    newest round wins, an add beats a del within its own round (the del
+    tombstones OLDER versions; its round's replacement row supersedes it).
+    Output: winner state per key in FRONTIER_LOG_COLS shape (is_del=true
+    rows mark keys whose latest event is a tombstone)."""
+    packed = log.select(
         "url_hash",
         F.struct(
             F.col("evt_round"),
@@ -242,6 +235,18 @@ def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
         F.col("_e.evt_round").alias("evt_round"),
         (~F.col("_e.is_add")).alias("is_del"),
     )
+
+
+def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
+    """Per-key latest event over the un-folded frontier_log rounds: union of
+    the per-round logs (delta-sized: Σ round churn since the last fold), ONE
+    repartition to the frontier's bucket layout, then :func:`_resolve_events`.
+    Output partitioning is HashPartitioning(url_hash, num_buckets), so
+    downstream joins against the bucketed base/seen tables co-locate."""
+    ev = deltas[0]
+    for d in deltas[1:]:
+        ev = ev.unionByName(d)
+    return _resolve_events(ev.repartition(num_buckets, "url_hash"))
 
 
 def live_frontier(
@@ -423,25 +428,35 @@ def _resolve_prefilter(store: StateStore, cfg: CrawlConfig) -> bool:
     os.walk over the store dirs — no Spark job."""
     if cfg.rank_prefilter is not None:
         return cfg.rank_prefilter
-    table = "frontier_log" if cfg.frontier_deltas else "frontier"
-    total = 0
-    base = os.path.join(store.root, f"{table}__base")
-    per_round = os.path.join(store.root, table)
-    for root_dir in (base, per_round):
-        if not os.path.isdir(root_dir):
-            continue
-        for dp, _dn, fns in os.walk(root_dir):
+
+    def dir_bytes(d: str) -> int:
+        total = 0
+        if not os.path.isdir(d):
+            return 0
+        for dp, _dn, fns in os.walk(d):
             for fn in fns:
                 if fn.endswith(".parquet"):
                     try:
                         total += os.path.getsize(os.path.join(dp, fn))
                     except OSError:
                         pass
-    if not cfg.frontier_deltas and store.last_committed_round() is not None:
-        # legacy layout keeps every round's full frontier on disk; only the
-        # LAST round is live state
-        n_dirs = max(1, len(store.committed_rounds()))
-        total = total // n_dirs
+        return total
+
+    # estimate LIVE state only, never history: delta mode sums the newest
+    # fold tier + only the un-folded round dirs (folded dirs stay on disk
+    # until vacuum but are superseded); legacy mode reads only the last
+    # round's dir (older dirs are history). Walk is O(live dirs), not
+    # O(rounds) — called once per round.
+    if cfg.frontier_deltas:
+        tiers = store.tiers("frontier_log")
+        floor = tiers[-1]["upto"] if tiers else -1
+        total = dir_bytes(store._base_dir("frontier_log", floor)) if tiers else 0
+        for r in store.committed_rounds():
+            if r > floor:
+                total += dir_bytes(store._table_round_dir("frontier_log", r))
+    else:
+        last = store.last_committed_round()
+        total = dir_bytes(store._table_round_dir("frontier", last)) if last is not None else 0
     return total >= cfg.rank_prefilter_auto_min_rows * _FRONTIER_BYTES_PER_ROW_EST
 
 
@@ -849,25 +864,10 @@ def run_crawl(
 
 
 def resolve_frontier_log(df: DataFrame) -> DataFrame:
-    """Fold resolver for the frontier event log: per-key latest event wins
-    (evt_round, add-beats-del), tombstoned keys dropped — the folded tier
-    holds exactly the live frontier rows, in the log's own schema."""
-    packed = df.select(
-        "url_hash",
-        F.struct(
-            F.col("evt_round"),
-            (~F.col("is_del")).alias("is_add"),
-            *[F.col(c) for c in _STATE_COLS],
-        ).alias("_e"),
-    )
-    resolved = packed.groupBy("url_hash").agg(F.max("_e").alias("_e"))
+    """Fold resolver for the frontier event log: the SAME latest-event
+    resolution as the live read path (:func:`_resolve_events`), tombstoned
+    keys dropped — the folded tier holds exactly the live frontier rows, in
+    the log's own schema."""
     return (
-        resolved.where(F.col("_e.is_add"))
-        .select(
-            "url_hash",
-            *[F.col(f"_e.{c}").alias(c) for c in _STATE_COLS],
-            F.col("_e.evt_round").alias("evt_round"),
-            F.lit(False).alias("is_del"),
-        )
-        .select(*FRONTIER_LOG_COLS)
+        _resolve_events(df).where(~F.col("is_del")).select(*FRONTIER_LOG_COLS)
     )

@@ -482,9 +482,9 @@ class StateStore:
             if table in self.bucket_spec:
                 tbl = self._base_tbl_name(table, t["upto"])
                 self._ensure_registered(spark, tbl, d, t)
-                bases.append(spark.table(tbl))
+                bases.append(spark.table(tbl).drop("round"))
             else:
-                bases.append(spark.read.parquet(d))
+                bases.append(spark.read.parquet(d).drop("round"))
         delta_rounds = [r for r in rounds if r > floor and self._round_has_rows(table, r)]
         if table in self.bucket_spec:
             deltas = [self.read_round(spark, table, r) for r in delta_rounds]
@@ -535,7 +535,10 @@ class StateStore:
                 f"up_to={up_to} and vacuumed; read_all cannot reconstruct history"
             )
         parts = [
-            spark.read.parquet(self._base_dir(table, t["upto"]))
+            # tiers compacted by earlier versions baked the synthetic `round`
+            # partition column into their files — drop it (no-op otherwise)
+            # so tier ∪ delta unions line up on every store vintage
+            spark.read.parquet(self._base_dir(table, t["upto"])).drop("round")
             for t in usable
             if self._dir_has_rows(self._base_dir(table, t["upto"]))
         ]
