@@ -613,3 +613,22 @@ def test_frontier_mode_mismatch_refused_on_resume(spark, tmp_path, crawl_inputs)
     run_crawl(spark, store2, pages, robots, seeds, rounds=1, cfg=legacy)
     with pytest.raises(ValueError, match="frontier_deltas=False"):
         run_crawl(spark, store2, pages, robots, seeds, rounds=2, cfg=cfg)
+
+
+def test_drained_frontier_yields_idle_round_not_crash(spark, tmp_path, crawl_inputs):
+    """A delta store whose frontier legitimately drains (all tombstones,
+    folded to an EMPTY tier — empty bucketed writes emit no files) must keep
+    running idle rounds, not die in live_frontier with a mode error."""
+    import dataclasses
+
+    from web_crawling_prj_spark.plans.crawl_round import live_frontier
+
+    pages, robots, seeds, cfg = crawl_inputs
+    tiny = dataclasses.replace(cfg, links_per_page=0, compact_every=2, failure_per_mille=0)
+    tiny.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    few = seeds.limit(5)
+    store = crawl_store(str(tmp_path / "drain"), tiny)
+    stats = run_crawl(spark, store, pages, robots, few, rounds=6, cfg=tiny)
+    assert stats[-1]["scheduled"] == 0  # fully drained, still committing rounds
+    assert live_frontier(spark, store, 6, tiny).count() == 0
+    shutil.rmtree(str(tmp_path / "drain"))

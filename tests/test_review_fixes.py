@@ -297,3 +297,30 @@ def test_bucket_layout_drift_refused_both_directions(spark, tmp_path):
     b2 = crawl_store(str(tmp_path / "dir3"), CrawlConfig(num_buckets=8))
     with pytest.raises(ValueError, match="bucket layout cannot change"):
         b2.commit_round(1, {"seen_delta": df.repartition(8, "url_hash")})
+
+
+def test_layout_registry_file_written_and_used(spark, tmp_path):
+    """The _layout.json registry is actually created on the first commit (the
+    post-commit replay would already contain the round's tables — regression
+    for the unreachable-registration ordering) and later commits check
+    against it without replaying manifests."""
+    import json
+    import os
+
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store
+
+    store = crawl_store(str(tmp_path / "layoutreg"), CrawlConfig(num_buckets=8))
+    df = spark.range(10).selectExpr("id AS url_hash", "CAST(id AS INT) AS bucket",
+                                    "CAST(1 AS INT) AS first_seen_round",
+                                    "CAST(NULL AS TIMESTAMP) AS first_seen_ts")
+    store.commit_round(0, {"seen_delta": df.repartition(8, "url_hash")})
+    path = os.path.join(store.root, "_manifests", "_layout.json")
+    assert os.path.exists(path)
+    reg = json.load(open(path))
+    assert reg["seen_delta"] == {"col": "url_hash", "n": 8}
+    # drift still refused, now via the registry
+    drifted = crawl_store(str(tmp_path / "layoutreg"), CrawlConfig(num_buckets=16))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket layout"):
+        drifted.commit_round(1, {"seen_delta": df.repartition(16, "url_hash")})

@@ -132,6 +132,10 @@ def discover_outlinks(
     from web_crawling_prj_spark.sources.pages_gen import host_for_doc
 
     ok = fetch_log.where(F.col("extracted_text").isNotNull())
+    if links_per_page <= 0:
+        # guard the degenerate config: Spark's sequence(1, 0) counts DOWN
+        # ([1, 0] — two elements), it does not produce an empty array
+        ok = ok.limit(0)
     links = ok.select(
         F.col("url_hash").alias("src_url_hash"),
         (F.col("depth") + 1).alias("depth"),

@@ -292,6 +292,23 @@ def live_frontier(
         else:
             live = recent_live
     if live is None:
+        # no parts with rows. Either the frontier legitimately DRAINED (all
+        # tombstones folded to an empty tier — empty bucketed writes emit no
+        # files) / init ran with zero seeds, or this store was never in delta
+        # mode. Distinguish via the manifests: a delta store has committed
+        # frontier_log at least once.
+        wrote_log = any(
+            "frontier_log" in store.manifest(r).get("tables", [])
+            for r in store.committed_rounds()
+            if r <= upto_round
+        )
+        if wrote_log or store.base_upto("frontier_log") is not None:
+            return spark.createDataFrame(
+                [],
+                "url string, url_canon string, url_hash long, host string, "
+                "priority double, depth int, discovered_ts timestamp, "
+                "src_url_hash long, attempt int, next_eligible_ts timestamp",
+            ).select(*FRONTIER_COLS)
         raise ValueError(
             f"no frontier_log state up to round {upto_round} — store was "
             "initialised with frontier_deltas=False (modes cannot mix mid-store)"

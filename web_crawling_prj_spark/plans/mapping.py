@@ -47,12 +47,18 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df.withColumnsRenamed(present)
 
 
-def stage_batch(df: DataFrame, cfg: ETLConfig, load_ts: str) -> DataFrame:
-    """select → rename → hash+metadata (data_loader.py:690-701)."""
+def _rename_and_project(df: DataFrame, cfg: ETLConfig) -> DataFrame:
+    """The one staging rule (rename → cols_to_insert projection) shared by
+    both load paths — a change here reaches full AND incremental loads."""
     out = rename_columns(df, cfg.mapping_cols)
     if cfg.cols_to_insert:
         out = out.select(*[c for c in cfg.cols_to_insert if c in out.columns])
-    return with_scd2_metadata(out, cfg.hash_cols, cfg.from_src, load_ts)
+    return out
+
+
+def stage_batch(df: DataFrame, cfg: ETLConfig, load_ts: str) -> DataFrame:
+    """select → rename → hash+metadata (data_loader.py:690-701)."""
+    return with_scd2_metadata(_rename_and_project(df, cfg), cfg.hash_cols, cfg.from_src, load_ts)
 
 
 def load_batch(
@@ -64,9 +70,7 @@ def load_batch(
     if cfg.load_type == "full":
         return stage_batch(batch, cfg, load_ts)
     if cfg.load_type == "incremental":
-        staged = rename_columns(batch, cfg.mapping_cols)
-        if cfg.cols_to_insert:
-            staged = staged.select(*[c for c in cfg.cols_to_insert if c in staged.columns])
+        staged = _rename_and_project(batch, cfg)
         return scd2_apply_batch(
             current, staged, cfg.primary_key, cfg.hash_cols, cfg.from_src, load_ts
         )

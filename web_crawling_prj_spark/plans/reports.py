@@ -185,7 +185,17 @@ def run_report_pipeline(
     service = service or SyntheticReportService()
     cfg = cfg or ReportServiceConfig()
     for j in jobs:
-        service.create(j)
+        # reference create timeout (base_init_reports_dag.py:82-83): a create
+        # call that exceeds the budget marks the JOB failed (counted against
+        # the half-failure abort below) instead of hanging the whole pipeline
+        t0 = time.monotonic()
+        try:
+            service.create(j)
+        except Exception:
+            j.status = "failed"
+            continue
+        if time.monotonic() - t0 > cfg.create_timeout_s:
+            j.status = "failed"
 
     pending = [j for j in jobs if j.status == "created"]
     waited = 0.0

@@ -158,7 +158,10 @@ class StateStore:
         """
         if os.path.exists(self._manifest_path(round_id)):
             raise ValueError(f"round {round_id} already committed")
-        self._check_layout_drift(tables)
+        # snapshot the layout registry BEFORE the commit point: after the
+        # manifest rename a replay-seeded registry would already contain this
+        # round's tables and first-seen registration would never fire
+        layout = self._check_layout_drift(tables)
         from concurrent.futures import ThreadPoolExecutor
 
         bucket_meta: dict[str, dict[str, Any]] = {}
@@ -187,10 +190,10 @@ class StateStore:
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.rename(tmp, self._manifest_path(round_id))  # the atomic commit point
-        # record first-seen layouts AFTER the commit point: a killed write
-        # must not register a layout for a round that never happened
-        layout = self._load_layout()
-        changed = False
+        # record first-seen layouts AFTER the commit point (a killed write
+        # must not register a layout for a round that never happened), using
+        # the PRE-commit snapshot so newly-committed tables register
+        changed = not os.path.exists(self._layout_path())
         for name in tables:
             if name not in layout:
                 spec = self.bucket_spec.get(name)
@@ -228,7 +231,7 @@ class StateStore:
             json.dump(layout, f)
         os.rename(tmp, self._layout_path())
 
-    def _check_layout_drift(self, tables: dict[str, DataFrame]) -> None:
+    def _check_layout_drift(self, tables: dict[str, DataFrame]) -> dict[str, Any]:
         """The bucket layout is STORE-INTRINSIC: a resume whose writer differs
         from the committed rounds — different (col, n), bucketing dropped, or
         bucketing newly added — would write new rounds in a mismatched layout.
@@ -238,7 +241,7 @@ class StateStore:
         committed (the registry covers intermittently-committed tables too)."""
         layout = self._load_layout()
         if not layout:
-            return
+            return layout
         for name in tables:
             if name not in layout:
                 continue  # table is new to the store: any layout is fine
@@ -259,6 +262,7 @@ class StateStore:
                     f"({old['col']}, {old['n']}) but this writer is configured "
                     f"for {tuple(new)} — bucket layout cannot change mid-store"
                 )
+        return layout
 
     # --- sketch sidecars (Iceberg-style puffin analog: bloom bytes per round) ---
 
