@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from web_crawling_prj_spark.functions import text as T
 from web_crawling_prj_spark.functions.hashing import md5_row_hash
 from web_crawling_prj_spark.operators.dedup import anti_join_seen
-from web_crawling_prj_spark.operators.retry import classify_status, backoff_seconds
+from web_crawling_prj_spark.operators.retry import classify_status, backoff_seconds, retry_budget
 from web_crawling_prj_spark.operators.scd2 import scd2_rebuild_from_history
 from web_crawling_prj_spark.operators.similarity import brute_force_topk, cosine, lsh_bucketed_topk
 from web_crawling_prj_spark.operators.textdedup import (
@@ -161,13 +161,21 @@ def q_error_classification(spark, sf_dir):
 
 
 def q_retry_backoff(spark, sf_dir):
-    """C9/C10: per-class budget + backoff table parity (no jitter)."""
+    """C9/C10: per-class budget + backoff table parity (no jitter).
+
+    Covers every class with a distinct base delay (error_handler.py:146-153)
+    and the UNKNOWN budget (= max_retries 3, error_handler.py:32,136).
+    """
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
-    classes = ["network_error", "rate_limit", "timeout", "proxy_error", "auth_error"]
-    cls = F.element_at(F.array(*[F.lit(c) for c in classes]), (F.col("event_id") % 5 + 1).cast("int"))
+    classes = ["network_error", "rate_limit", "timeout", "proxy_error",
+               "auth_error", "token_expired", "unknown"]
+    cls = F.element_at(F.array(*[F.lit(c) for c in classes]), (F.col("event_id") % 7 + 1).cast("int"))
     att = (F.col("event_id") % 8 + 1).cast("int")
     df = ev.select("event_id", cls.alias("error_class"), att.alias("attempt"))
-    return df.withColumn("backoff_s", F.round(backoff_seconds("error_class", "attempt"), 6))
+    return (
+        df.withColumn("backoff_s", F.round(backoff_seconds("error_class", "attempt"), 6))
+        .withColumn("max_attempts", retry_budget("error_class"))
+    )
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -1084,13 +1092,21 @@ FROM derived
         "retry_backoff": """
 WITH derived AS (
   SELECT event_id,
-         (['network_error','rate_limit','timeout','proxy_error','auth_error'])[CAST(event_id % 5 AS INT) + 1] AS error_class,
+         (['network_error','rate_limit','timeout','proxy_error','auth_error','token_expired','unknown'])[CAST(event_id % 7 AS INT) + 1] AS error_class,
          CAST(event_id % 8 + 1 AS INT) AS attempt
   FROM events WHERE event_id < 2000
 )
 SELECT event_id, error_class, attempt,
-       round(least(CASE WHEN error_class = 'rate_limit' THEN 10.0 ELSE 1.0 END
-                   * power(2.0, attempt - 1), 60.0), 6) AS backoff_s
+       round(least(CASE WHEN error_class = 'rate_limit' THEN 10.0
+                        WHEN error_class = 'token_expired' THEN 3.0
+                        WHEN error_class IN ('proxy_error', 'auth_error') THEN 2.0
+                        ELSE 1.0 END
+                   * power(2.0, attempt - 1), 60.0), 6) AS backoff_s,
+       CASE WHEN error_class = 'network_error' THEN 5
+            WHEN error_class IN ('rate_limit', 'timeout', 'unknown') THEN 3
+            WHEN error_class = 'proxy_error' THEN 2
+            WHEN error_class IN ('auth_error', 'token_expired') THEN 1
+            ELSE 0 END AS max_attempts
 FROM derived
 """,
         "pricing_summary": f"""

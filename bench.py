@@ -329,6 +329,135 @@ def bench_frontier_commit(
     return out
 
 
+def bench_frontier_fold(
+    spark, n: int, churn: int, rounds: int = 4, num_buckets: int = 32
+) -> dict:
+    """Round-5 headline: frontier-log FOLD cost — tiered MINOR fold (reads +
+    writes only the un-folded round window, O(rounds·churn)) vs the MAJOR
+    fold (rewrites the whole live backlog, O(n)) — on the same store state.
+    With CrawlConfig.fold_max_tiers=T the major fold runs once every T·K
+    rounds, so per-round amortized fold cost drops from O(n/K) (round-4
+    always-major) to O(churn) + O(n/(T·K))."""
+    import shutil
+
+    from web_crawling_prj_spark.plans.crawl_round import (
+        FRONTIER_LOG_COLS,
+        CrawlConfig,
+        crawl_store,
+        resolve_frontier_log,
+    )
+
+    def frontier_rows(lo: int, hi: int):
+        return synthetic_frontier(spark, hi, lo=lo).select(
+            F.col("url_canon").alias("url"),
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("timestamp").alias("discovered_ts"),
+            F.lit(None).cast("long").alias("src_url_hash"),
+            F.lit(0).alias("attempt"),
+            F.lit(None).cast("timestamp").alias("next_eligible_ts"),
+        )
+
+    def dir_bytes(path):
+        total = 0
+        for dp, _dn, fns in os.walk(path):
+            for fn in fns:
+                total += os.path.getsize(os.path.join(dp, fn))
+        return total
+
+    root = f"/dev/shm/wcp-bench-fold-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = CrawlConfig(num_buckets=num_buckets, frontier_deltas=True)
+    store = crawl_store(root, cfg)
+    out = {"n": n, "churn": churn, "window_rounds": rounds}
+    try:
+        log0 = (
+            frontier_rows(0, n)
+            .withColumns({"evt_round": F.lit(0), "is_del": F.lit(False)})
+            .select(*FRONTIER_LOG_COLS)
+            .repartition(num_buckets, "url_hash")
+        )
+        store.commit_round(0, {"frontier_log": log0})
+        store.compact(
+            spark, "frontier_log", up_to=0, max_tiers=4, resolver=resolve_frontier_log
+        )  # terminal first tier = the standing backlog
+        null_state = [
+            ("url", "string"),
+            ("url_canon", "string"),
+            ("host", "string"),
+            ("priority", "double"),
+            ("depth", "int"),
+            ("discovered_ts", "timestamp"),
+            ("src_url_hash", "long"),
+            ("attempt", "int"),
+            ("next_eligible_ts", "timestamp"),
+        ]
+        for r in range(1, rounds + 1):
+            adds = frontier_rows(n + r * churn, n + (r + 1) * churn)
+            dels = (
+                synthetic_frontier(spark, (r + 1) * churn, lo=r * churn)
+                .select(
+                    "url_hash",
+                    *[F.lit(None).cast(t).alias(c) for c, t in null_state],
+                    F.lit(r).alias("evt_round"),
+                    F.lit(True).alias("is_del"),
+                )
+                .select(*FRONTIER_LOG_COLS)
+            )
+            log_r = (
+                adds.withColumns({"evt_round": F.lit(r), "is_del": F.lit(False)})
+                .select(*FRONTIER_LOG_COLS)
+                .unionByName(dels)
+                .repartition(num_buckets, "url_hash")
+            )
+            store.commit_round(r, {"frontier_log": log_r})
+        # MINOR fold: only the R-round churn window moves
+        t0 = time.time()
+        store.compact(
+            spark, "frontier_log", up_to=rounds, max_tiers=4, resolver=resolve_frontier_log
+        )
+        minor_wall = time.time() - t0
+        minor_bytes = dir_bytes(store._base_dir("frontier_log", rounds))
+        # MAJOR fold: one more round, then force tier merge — the whole
+        # backlog is rewritten (what EVERY fold cost before round 5)
+        extra = (
+            frontier_rows(n + (rounds + 1) * churn, n + (rounds + 2) * churn)
+            .withColumns({"evt_round": F.lit(rounds + 1), "is_del": F.lit(False)})
+            .select(*FRONTIER_LOG_COLS)
+            .repartition(num_buckets, "url_hash")
+        )
+        store.commit_round(rounds + 1, {"frontier_log": extra})
+        t0 = time.time()
+        store.compact(
+            spark,
+            "frontier_log",
+            up_to=rounds + 1,
+            max_tiers=1,
+            resolver=resolve_frontier_log,
+        )
+        major_wall = time.time() - t0
+        major_bytes = dir_bytes(store._base_dir("frontier_log", rounds + 1))
+        out["minor"] = {
+            "wall_s": round(minor_wall, 3),
+            "bytes": minor_bytes,
+            "mb": round(minor_bytes / 1e6, 2),
+        }
+        out["major"] = {
+            "wall_s": round(major_wall, 3),
+            "bytes": major_bytes,
+            "mb": round(major_bytes / 1e6, 2),
+        }
+        out["fold_bytes_major_vs_minor"] = round(major_bytes / max(1, minor_bytes), 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+            spark.sql(f"DROP TABLE {t.tableName}")
+    return out
+
+
 def _scaling_child(cores: int, n: int) -> None:
     """Subprocess entry: run the frontier core on a fresh local[cores] JVM and
     print its stats as one JSON line (north-rule two-cluster-size evidence:
@@ -433,6 +562,8 @@ def main():
     core_bucketed = bench_frontier_core_bucketed(spark, n_urls)
     # round-4: per-round frontier commit — delta log vs legacy full rewrite
     commit = bench_frontier_commit(spark, n_urls, churn=max(1000, n_urls // 100))
+    # round-5: fold cost — tiered minor fold (O(window churn)) vs major (O(live))
+    fold = bench_frontier_fold(spark, n_urls, churn=max(1000, n_urls // 100))
 
     # extraction throughput: Arrow-UDF byte-identical HTML→text over the page
     # store (the webtext data-plane hot path)
@@ -534,6 +665,7 @@ def main():
         "frontier_core": core,
         "frontier_core_bucketed": core_bucketed,
         "frontier_commit": commit,
+        "frontier_fold": fold,
         "extract_pages_per_sec": extract,
         "simhash_docs_per_sec": simhash,
         "ann": ann,
@@ -559,6 +691,7 @@ def main():
         "cpus": cpus,
         "core_bucketed_rate": core_bucketed.get("rate"),
         "commit_write_amp_legacy_vs_delta": commit.get("write_amplification_legacy_vs_delta"),
+        "fold_bytes_major_vs_minor": fold.get("fold_bytes_major_vs_minor"),
         "full_record": "BENCH/last_run.json",
     }
     sc = out.get("scaling")

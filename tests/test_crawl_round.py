@@ -533,6 +533,96 @@ def test_frontier_delta_mode_equals_full_rewrite(spark, tmp_path, crawl_inputs):
     shutil.rmtree(str(tmp_path / "eq_new"))
 
 
+def test_tiered_frontier_folds_and_merge_regime_equal_legacy(spark, tmp_path, crawl_inputs):
+    """Round-5 headline: TIERED frontier-log folds (minor folds O(window
+    churn), tombstones kept until a major fold) + the co-located MERGE
+    regime for every churn-key join (broadcast_churn_max_keys=0 forces it)
+    reproduce the exact legacy crawl. fold_max_tiers=2, compact_every=2 over
+    9 rounds exercises: terminal first fold (r2), minor fold with tombstones
+    (r4), MAJOR fold (r6, tier count would exceed 2), minor again (r8) — and
+    the old tier's files are byte-untouched by the minor fold."""
+    import dataclasses
+    import os
+
+    pages, robots, seeds, cfg = crawl_inputs
+    co = dataclasses.replace(cfg, frontier_deltas=False, compact_every=2)
+    co.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    cn = dataclasses.replace(
+        cfg,
+        frontier_deltas=True,
+        compact_every=2,
+        fold_max_tiers=2,
+        broadcast_churn_max_keys=0,
+    )
+    cn.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+
+    a = crawl_store(str(tmp_path / "tier_old"), co)
+    b = crawl_store(str(tmp_path / "tier_new"), cn)
+    sa = run_crawl(spark, a, pages, robots, seeds, rounds=5, cfg=co)
+
+    def tier_files(store, upto):
+        d = store._base_dir("frontier_log", upto)
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    sb = run_crawl(spark, b, pages, robots, seeds, rounds=3, cfg=cn)  # fold @ r2
+    snap = tier_files(b, 2)
+    sb += run_crawl(spark, b, pages, robots, seeds, rounds=5, cfg=cn)  # minor fold @ r4
+    # after r2 (terminal) + r4 (minor): two tiers, minor fold carries dels
+    assert [t["upto"] for t in b.tiers("frontier_log")] == [2, 4]
+    log4 = spark.read.parquet(b._base_dir("frontier_log", 4))
+    assert log4.where(F.col("is_del")).count() > 0  # non-terminal keeps tombstones
+    assert tier_files(b, 2) == snap  # minor fold left the old tier byte-untouched
+    sa += run_crawl(spark, a, pages, robots, seeds, rounds=9, cfg=co)
+    sb += run_crawl(spark, b, pages, robots, seeds, rounds=9, cfg=cn)
+    assert [t["upto"] for t in b.tiers("frontier_log")] == [6, 8]  # major@6, minor@8
+    log6 = spark.read.parquet(b._base_dir("frontier_log", 6))
+    assert log6.where(F.col("is_del")).count() == 0  # terminal dropped tombstones
+    assert sa == sb
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / "tier_old"))
+    shutil.rmtree(str(tmp_path / "tier_new"))
+
+
+def test_vacuum_after_fold_bounds_store_dirs(spark, tmp_path, crawl_inputs):
+    """CrawlConfig.vacuum_after_fold reclaims folded round dirs each fold:
+    the store's per-round dir inventory stays bounded by the un-folded
+    window, the crawl's observable state is unchanged, and a partial
+    (killed) vacuum is repaired by the next one."""
+    import dataclasses
+    import os
+
+    pages, robots, seeds, cfg = crawl_inputs
+    cv = dataclasses.replace(cfg, compact_every=2, vacuum_after_fold=True)
+    cv.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    cn = dataclasses.replace(cfg, compact_every=2)
+    cn.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+
+    a = crawl_store(str(tmp_path / "vac"), cv)
+    b = crawl_store(str(tmp_path / "novac"), cn)
+    run_crawl(spark, a, pages, robots, seeds, rounds=4, cfg=cv)
+
+    def round_dirs(store, table):
+        d = os.path.join(store.root, table)
+        return sorted(f for f in os.listdir(d)) if os.path.isdir(d) else []
+
+    # folded rounds reclaimed; only the un-folded window survives
+    assert round_dirs(a, "frontier_log") == []  # fold at r4 covers all rounds
+    assert round_dirs(a, "seen_delta") == []
+    # simulate a kill mid-vacuum: delete PART of a folded dir, then resume —
+    # current-head reads never touch superseded dirs, next fold's vacuum
+    # finishes the job
+    run_crawl(spark, a, pages, robots, seeds, rounds=5, cfg=cv)
+    assert round_dirs(a, "frontier_log") == ["round=000005"]
+    run_crawl(spark, b, pages, robots, seeds, rounds=5, cfg=cn)
+    assert _final_state(a, spark) == _final_state(b, spark)
+    # resume past the vacuumed history keeps working
+    run_crawl(spark, a, pages, robots, seeds, rounds=7, cfg=cv)
+    run_crawl(spark, b, pages, robots, seeds, rounds=7, cfg=cn)
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / "vac"))
+    shutil.rmtree(str(tmp_path / "novac"))
+
+
 def test_delta_mode_commit_volume_tracks_churn_not_frontier(spark, tmp_path, crawl_inputs):
     """The delta store's per-round frontier commit is bounded by round
     ACTIVITY (adds = retries + discovery winners; dels = scheduled +

@@ -236,10 +236,12 @@ def test_delta_mode_pending_plan_never_touches_base_with_a_shuffle(spark, sf_dir
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         # no seen-set table anywhere in the read plan
         assert "seen_delta" not in plan, plan
-        # eligibility predicate reached the base parquet scan
+        # eligibility predicate AND the tombstone filter both reached the
+        # base parquet scan (tiered folds: a tier may carry is_del rows)
         fmt = explain_str(pending, "formatted")
         assert "frontier_log__base" in fmt, fmt
-        assert "PushedFilters: [Or(IsNull(next_eligible_ts)" in fmt, fmt
+        assert "Or(IsNull(next_eligible_ts)" in fmt, fmt
+        assert "Not(EqualTo(is_del,true))" in fmt, fmt
         # pagerank ON must not degrade the pending plan (the blend moved to
         # the scheduling stage in delta mode — VERDICT r3 'wrong' #2)
         import dataclasses
@@ -250,6 +252,69 @@ def test_delta_mode_pending_plan_never_touches_base_with_a_shuffle(spark, sf_dir
         plan_pr = explain_str(pending_pr, "simple")
         assert plan_pr.count("Exchange hashpartitioning") == 2, plan_pr
         assert "seen_delta" not in plan_pr and "fetch_log" not in plan_pr, plan_pr
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for b in bcasts:
+            b.destroy()
+
+
+def test_tiered_delta_live_view_two_regimes_plan_shape(spark, sf_dir, tmp_path):
+    """Tiered frontier folds (round 5): with MULTIPLE base tiers the pending
+    plan reads each tier through ONE pushed-down bucketed scan; tier-vs-tier
+    shadowing joins are co-located zero-exchange merges, and the recent-churn
+    key joins flip by cfg.broadcast_churn_max_keys — forced broadcast below,
+    the same co-located merge above. In BOTH regimes every hash exchange in
+    the plan is a designed REPARTITION_BY_NUM over the delta-sized churn;
+    the planner never inserts an ENSURE_REQUIREMENTS exchange — i.e. the
+    backlog side never moves. And the two regimes return identical rows."""
+    import dataclasses
+
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        pending_frontier,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    pages, robots, seeds = pages_df(spark, sf_dir), robots_df(spark), seeds_df(spark, sf_dir)
+    cfg = CrawlConfig(
+        num_buckets=8, n_salts=4, compact_every=2, fold_max_tiers=3, frontier_deltas=True
+    )
+    cfg.extra["max_doc_id"] = 10_000
+    store = crawl_store(str(tmp_path / "tiers"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=5, cfg=cfg)
+    assert [t["upto"] for t in store.tiers("frontier_log")] == [2, 4]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bcasts = []
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # broadcast regime (default threshold; toy churn is far below it)
+        pending, _, _ = pending_frontier(spark, store, 6, cfg, bcasts)
+        plan = explain_str(pending, "simple")
+        assert "frontier_log_base_000002" in plan and "frontier_log_base_000004" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan  # recent-churn keys broadcast
+        assert "SortMergeJoin" in plan, plan  # tier-vs-tier co-located merge
+        assert plan.count("Exchange hashpartitioning") == plan.count("REPARTITION_BY_NUM"), plan
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+
+        # merge regime: churn keys too big to collect — zero broadcast, the
+        # co-located merge everywhere, still no planner-inserted exchange
+        cfg_m = dataclasses.replace(cfg, broadcast_churn_max_keys=0)
+        cfg_m.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+        pending_m, _, _ = pending_frontier(spark, store, 6, cfg_m, bcasts)
+        plan_m = explain_str(pending_m, "simple")
+        assert "BroadcastExchange" not in plan_m, plan_m
+        assert "SortMergeJoin" in plan_m, plan_m
+        assert plan_m.count("Exchange hashpartitioning") == plan_m.count(
+            "REPARTITION_BY_NUM"
+        ), plan_m
+        assert "ENSURE_REQUIREMENTS" not in plan_m, plan_m
+
+        # physical choice only: identical pending rows either way
+        assert pending.exceptAll(pending_m).count() == 0
+        assert pending_m.exceptAll(pending).count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for b in bcasts:

@@ -39,22 +39,45 @@ def test_classification_table(spark):
 
 
 def test_budget_table(spark):
-    # parity with services/error_handler.py:30-46
+    # parity with services/error_handler.py:30-46; UNKNOWN = max_retries = 3
+    # (error_handler.py:32,136). Hardcoded so a drift in RETRY_BUDGETS fails here.
+    want = {
+        "network_error": 5,
+        "rate_limit": 3,
+        "timeout": 3,
+        "proxy_error": 2,
+        "auth_error": 1,
+        "token_expired": 1,
+        "api_error": 0,
+        "parsing_error": 0,
+        "unknown": 3,
+    }
+    assert RETRY_BUDGETS == want
     df = spark.createDataFrame([(k,) for k in RETRY_BUDGETS], "cls string")
     got = {r.cls: r.b for r in df.select("cls", retry_budget("cls").alias("b")).collect()}
-    assert got == RETRY_BUDGETS
+    assert got == want
 
 
 def test_backoff_schedule(spark):
-    # min(base*2^(n-1), 60), rate_limit base 10 (error_handler.py:141-165), no jitter
+    # min(base*2^(n-1), 60) with all five per-class bases
+    # (error_handler.py:146-153): rate_limit 10, token_expired 3,
+    # proxy_error 2, auth_error 2, default 1. No jitter.
+    bases = {
+        "network_error": 1.0,
+        "timeout": 1.0,
+        "unknown": 1.0,
+        "rate_limit": 10.0,
+        "token_expired": 3.0,
+        "proxy_error": 2.0,
+        "auth_error": 2.0,
+    }
     df = spark.createDataFrame(
-        [("network_error", a) for a in range(1, 9)] + [("rate_limit", a) for a in range(1, 5)],
+        [(cls, a) for cls in bases for a in range(1, 9)],
         "cls string, attempt int",
     )
     got = df.select("cls", "attempt", backoff_seconds("cls", "attempt").alias("s")).collect()
     for r in got:
-        base = 10.0 if r.cls == "rate_limit" else 1.0
-        assert r.s == min(base * 2 ** (r.attempt - 1), 60.0)
+        assert r.s == min(bases[r.cls] * 2 ** (r.attempt - 1), 60.0), (r.cls, r.attempt)
 
 
 def test_backoff_jitter_bounds_and_determinism(spark):

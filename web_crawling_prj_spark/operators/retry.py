@@ -12,10 +12,11 @@ Parity tables (byte-matched against the reference, tested in
 tests/test_retry.py):
 - classification: exception/status → class (error_handler.py:73-99);
 - budgets: NETWORK 5, RATE_LIMIT 3, TIMEOUT 3, PROXY 2, AUTH 1, TOKEN 1,
-  API 0, PARSING 0 (error_handler.py:30-46);
-- backoff: min(base·2^(n-1), 60 s), rate-limit base 10 s, jitter ×[0.5, 1.0)
-  (error_handler.py:141-165) — jitter here is a deterministic hash draw so
-  reruns and different parallelism levels reproduce identical schedules.
+  API 0, PARSING 0, UNKNOWN 3 (= config.max_retries, error_handler.py:30-46,136);
+- backoff: min(base·2^(n-1), 60 s) with per-class bases rate_limit 10 s,
+  token_expired 3 s, proxy_error 2 s, auth_error 2 s, default 1 s, jitter
+  ×[0.5, 1.0) (error_handler.py:141-165) — jitter here is a deterministic hash
+  draw so reruns and different parallelism levels reproduce identical schedules.
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# class name → max retries (services/error_handler.py:30-46)
+# class name → max retries (services/error_handler.py:30-46; UNKNOWN uses
+# config.max_retries = 3, error_handler.py:32,136)
 RETRY_BUDGETS: dict[str, int] = {
     "network_error": 5,
     "rate_limit": 3,
@@ -33,10 +35,16 @@ RETRY_BUDGETS: dict[str, int] = {
     "token_expired": 1,
     "api_error": 0,
     "parsing_error": 0,
-    "unknown": 0,
+    "unknown": 3,
 }
 
-BACKOFF_BASE_S = {"rate_limit": 10.0}  # others base 1 s (error_handler.py:141-165)
+# per-class base delays (error_handler.py:146-153); others base 1 s
+BACKOFF_BASE_S = {
+    "rate_limit": 10.0,
+    "token_expired": 3.0,
+    "proxy_error": 2.0,
+    "auth_error": 2.0,
+}
 BACKOFF_CAP_S = 60.0
 CIRCUIT_OPEN_AFTER = 10  # consecutive failures (error_handler.py:226-231)
 CIRCUIT_RECOVERY_S = 60.0
@@ -87,7 +95,9 @@ def backoff_seconds(error_class: Column | str, attempt: Column | str, jitter_key
     """
     c = F.col(error_class) if isinstance(error_class, str) else error_class
     a = F.col(attempt) if isinstance(attempt, str) else attempt
-    base = F.when(c == "rate_limit", F.lit(BACKOFF_BASE_S["rate_limit"])).otherwise(F.lit(1.0))
+    base = F.lit(1.0)
+    for name, sec in BACKOFF_BASE_S.items():
+        base = F.when(c == name, F.lit(sec)).otherwise(base)
     raw = F.least(base * F.pow(F.lit(2.0), a.cast("double") - 1), F.lit(BACKOFF_CAP_S))
     if jitter_key is None:
         return raw

@@ -123,6 +123,28 @@ class CrawlConfig:
     # behavior is identical in both modes (equality-tested); a store is
     # created in one mode and stays in it.
     frontier_deltas: bool = True
+    # LSM fold width for BOTH state tables (seen_delta concatenation tiers,
+    # frontier_log event tiers). Minor folds touch only the rounds since the
+    # newest tier — O(window churn); a major fold (all tiers merge, the only
+    # O(live) job left) runs every fold_max_tiers·compact_every rounds, i.e.
+    # amortized O(live / (fold_max_tiers·compact_every)) per round.
+    fold_max_tiers: int = 4
+    # reclaim per-round dirs already folded into a base tier right after each
+    # fold (opt-in: it forfeits read_round/read_all history below the fold
+    # floor — keep it off for audit-grade stores). Kill-safe: only superseded
+    # dirs are touched, so a partial vacuum never affects current-head reads
+    # and the next fold's vacuum finishes the job.
+    vacuum_after_fold: bool = False
+    # forced-broadcast ceiling for the per-round churn-key joins (the
+    # un-folded frontier_log window vs the base tiers, and the candidate/
+    # scheduled key probes). While the window's estimated key count (driver-
+    # side file-size arithmetic, no job) stays below this, churn keys
+    # broadcast — fastest, and safe: 20M longs ≈ 160 MB serialized. Above it
+    # the joins switch to the co-located bucketed merge shape: every live
+    # branch keeps HashPartitioning(url_hash, P), so only the delta-sized key
+    # sets shuffle and nothing is collected driver-side (the 10^8-key regime
+    # where a forced broadcast is an OOM cliff, VERDICT r4 watch-item #3).
+    broadcast_churn_max_keys: int = 20_000_000
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -249,70 +271,128 @@ def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
     return _resolve_events(ev.repartition(num_buckets, "url_hash"))
 
 
+def _churn_broadcast_ok(store: StateStore, upto_round: int, cfg: CrawlConfig) -> bool:
+    """One regime switch per round for every forced-broadcast churn-key join:
+    True while the un-folded frontier_log window's estimated key count stays
+    under cfg.broadcast_churn_max_keys. Driver-side file-size arithmetic over
+    the un-folded round dirs (no Spark job); the window bounds the resolved
+    recent-event key set exactly and tracks the per-round candidate/scheduled
+    key sets (each ≤ one round's churn ≲ the window) — a 2× estimate error
+    just moves the broadcast↔merge crossover, both regimes are correct."""
+    tiers = store.tiers("frontier_log")
+    floor = tiers[-1]["upto"] if tiers else -1
+    total = 0
+    for r in store.committed_rounds():
+        if floor < r <= upto_round:
+            total += _dir_bytes(store._table_round_dir("frontier_log", r))
+    return total // _FRONTIER_BYTES_PER_ROW_EST <= cfg.broadcast_churn_max_keys
+
+
+def live_frontier_parts(
+    spark: SparkSession,
+    store: StateStore,
+    upto_round: int,
+    cfg: CrawlConfig,
+    persisted: list | None = None,
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """The live frontier as a LIST of branches whose union is the live view,
+    each branch keeping the store's HashPartitioning(url_hash, num_buckets)
+    bucket layout — the union erases it (Spark's Union reports unknown
+    output partitioning), so callers that need co-located probes (the
+    incumbent lookup's merge regime) join the branches, not the union.
+
+    Branches: one per base tier (oldest→newest) + one for the resolved
+    recent churn. Per tier: live rows (``~is_del`` pushed into the scan — a
+    non-terminal tier carries tombstones targeting older tiers) ∖ keys of
+    every NEWER tier (zero-exchange co-located merges: both sides are
+    bucketed scans) ∖ recent-event keys (broadcast below
+    cfg.broadcast_churn_max_keys; above it the co-located merge — the
+    resolved aggregation already carries the same partitioning). Per-round
+    cost: one pushed-down scan of each tier + delta-sized everything else.
+
+    Returns ``(parts, resolved)``: parts in FRONTIER_COLS shape; ``resolved``
+    = per-key-latest recent events (FRONTIER_LOG_COLS shape, persisted when a
+    ``persisted`` list is passed — it feeds many consumers per round), or
+    None when no un-folded rounds exist."""
+    bases, deltas = store.read_parts(spark, "frontier_log", up_to=upto_round)
+    resolved = None
+    if deltas:
+        resolved = _resolve_recent_log(deltas, cfg.num_buckets)
+        if persisted is not None:
+            resolved = resolved.persist()
+            persisted.append(resolved)
+    bcast_ok = _churn_broadcast_ok(store, upto_round, cfg)
+    parts: list[DataFrame] = []
+    for i, b in enumerate(bases):  # oldest→newest
+        branch = b.where(~F.col("is_del")).select(*FRONTIER_COLS)
+        for newer in bases[i + 1 :]:
+            branch = branch.join(newer.select("url_hash"), "url_hash", "left_anti")
+        if resolved is not None:
+            keys = resolved.select("url_hash")
+            branch = branch.join(
+                F.broadcast(keys) if bcast_ok else keys, "url_hash", "left_anti"
+            )
+        parts.append(branch)
+    if resolved is not None:
+        parts.append(resolved.where(~F.col("is_del")).select(*FRONTIER_COLS))
+    return parts, resolved
+
+
+def _empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "url string, url_canon string, url_hash long, host string, "
+        "priority double, depth int, discovered_ts timestamp, "
+        "src_url_hash long, attempt int, next_eligible_ts timestamp",
+    ).select(*FRONTIER_COLS)
+
+
 def live_frontier(
     spark: SparkSession,
     store: StateStore,
     upto_round: int,
     cfg: CrawlConfig,
     persisted: list | None = None,
+    parts_out: list | None = None,
 ) -> DataFrame:
     """The live frontier as of committed round ``upto_round``, either mode.
 
-    frontier_deltas mode: base tier ∖ broadcast(recent event keys) ∪ recent
-    adds. The base is touched by exactly ONE scan and ONE broadcast anti-join
-    per round — O(live) read, O(churn) everything else — versus the legacy
-    mode's O(live) WRITE every round. The live view is disjoint from the
-    seen-set by construction (adds are seen-filtered at write time, and every
-    key entering the seen-set is tombstoned the same round), so pending needs
-    no read-time seen join at all."""
+    frontier_deltas mode: the union of :func:`live_frontier_parts` — tier
+    branches ∖ newer-layer keys ∪ recent adds. Each tier is touched by
+    exactly ONE pushed-down scan per round — O(live) read, O(churn)
+    everything else — versus the legacy mode's O(live) WRITE every round.
+    The live view is disjoint from the seen-set by construction (adds are
+    seen-filtered at write time, and every key entering the seen-set is
+    tombstoned the same round), so pending needs no read-time seen join at
+    all. ``parts_out``: optional list the branches are appended to (same
+    contract as live_frontier_parts) for callers that also need the
+    layout-preserving branches."""
     if not cfg.frontier_deltas:
         return store.read_round(spark, "frontier", upto_round)
-    bases, deltas = store.read_parts(spark, "frontier_log", up_to=upto_round)
-    live = None
-    for b in bases:  # ≤1 tier (frontier folds are always major), chain defensively
-        bb = b.select(*FRONTIER_COLS)
-        live = (
-            bb
-            if live is None
-            else live.join(bb.select("url_hash"), "url_hash", "left_anti").unionByName(bb)
-        )
-    if deltas:
-        resolved = _resolve_recent_log(deltas, cfg.num_buckets)
-        if persisted is not None:
-            # the resolved events are delta-sized and feed MANY consumers in
-            # a round (pending branch, the base's tombstone-key broadcast,
-            # the deferred split, incumbent lookups) — one round-scoped cache
-            # stops each consumer re-reading every per-round log dir
-            resolved = resolved.persist()
-            persisted.append(resolved)
-        recent_live = resolved.where(~F.col("is_del")).select(*FRONTIER_COLS)
-        if live is not None:
-            keys = resolved.select("url_hash")
-            live = live.join(F.broadcast(keys), "url_hash", "left_anti").unionByName(recent_live)
-        else:
-            live = recent_live
-    if live is None:
+    parts, _resolved = live_frontier_parts(spark, store, upto_round, cfg, persisted=persisted)
+    if parts_out is not None:
+        parts_out.extend(parts)
+    if not parts:
         # no parts with rows. Either the frontier legitimately DRAINED (all
         # tombstones folded to an empty tier — empty bucketed writes emit no
         # files) / init ran with zero seeds, or this store was never in delta
-        # mode. Distinguish via the manifests: a delta store has committed
-        # frontier_log at least once.
-        wrote_log = any(
-            "frontier_log" in store.manifest(r).get("tables", [])
-            for r in store.committed_rounds()
-            if r <= upto_round
-        )
-        if wrote_log or store.base_upto("frontier_log") is not None:
-            return spark.createDataFrame(
-                [],
-                "url string, url_canon string, url_hash long, host string, "
-                "priority double, depth int, discovered_ts timestamp, "
-                "src_url_hash long, attempt int, next_eligible_ts timestamp",
-            ).select(*FRONTIER_COLS)
+        # mode. A delta store commits frontier_log EVERY round, so the newest
+        # manifest answers — walk newest-first and stop at the first mention
+        # (the drained idle tail must not re-parse every manifest each round).
+        if store.base_upto("frontier_log") is not None:
+            return _empty_frontier(spark)
+        for r in reversed(store.committed_rounds()):
+            if r > upto_round:
+                continue
+            if "frontier_log" in store.manifest(r).get("tables", []):
+                return _empty_frontier(spark)
         raise ValueError(
             f"no frontier_log state up to round {upto_round} — store was "
             "initialised with frontier_deltas=False (modes cannot mix mid-store)"
         )
+    live = parts[0]
+    for p in parts[1:]:
+        live = live.unionByName(p)
     return live
 
 
@@ -323,6 +403,7 @@ def pending_frontier(
     cfg: CrawlConfig,
     bcasts: list,
     persisted: list | None = None,
+    parts_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame, "object"]:
     """Steps 0–2 of a round: read the committed frontier, split by backoff
     eligibility, and dedup vs the seen-set → (pending, deferred, bloom).
@@ -337,7 +418,9 @@ def pending_frontier(
     (tests/test_plan_shapes.py pins both shapes on this exact function)."""
     round_ts = cfg.round_ts(round_id)
     if cfg.frontier_deltas:
-        frontier = live_frontier(spark, store, round_id - 1, cfg, persisted=persisted)
+        frontier = live_frontier(
+            spark, store, round_id - 1, cfg, persisted=persisted, parts_out=parts_out
+        )
     else:
         frontier = store.read_round(spark, "frontier", round_id - 1)
         seen_bases, seen_deltas = store.read_parts(spark, "seen_delta", up_to=round_id - 1)
@@ -438,6 +521,22 @@ def _link_lineage(
 _FRONTIER_BYTES_PER_ROW_EST = 64
 
 
+def _dir_bytes(d: str) -> int:
+    """Driver-side parquet footprint of one store dir — feeds the prefilter
+    and broadcast-regime ESTIMATES only (no Spark job; a 2× error is fine)."""
+    total = 0
+    if not os.path.isdir(d):
+        return 0
+    for dp, _dn, fns in os.walk(d):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dp, fn))
+                except OSError:
+                    pass
+    return total
+
+
 def _resolve_prefilter(store: StateStore, cfg: CrawlConfig) -> bool:
     """Tri-state rank_prefilter: explicit setting wins; None auto-enables
     when the committed frontier's on-disk footprint implies the live row
@@ -445,35 +544,22 @@ def _resolve_prefilter(store: StateStore, cfg: CrawlConfig) -> bool:
     os.walk over the store dirs — no Spark job."""
     if cfg.rank_prefilter is not None:
         return cfg.rank_prefilter
-
-    def dir_bytes(d: str) -> int:
-        total = 0
-        if not os.path.isdir(d):
-            return 0
-        for dp, _dn, fns in os.walk(d):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    try:
-                        total += os.path.getsize(os.path.join(dp, fn))
-                    except OSError:
-                        pass
-        return total
-
-    # estimate LIVE state only, never history: delta mode sums the newest
-    # fold tier + only the un-folded round dirs (folded dirs stay on disk
-    # until vacuum but are superseded); legacy mode reads only the last
-    # round's dir (older dirs are history). Walk is O(live dirs), not
-    # O(rounds) — called once per round.
+    # estimate LIVE state only, never history: delta mode sums EVERY fold
+    # tier (tiered folds: the live set spans all of them; tombstone rows in
+    # non-terminal tiers inflate the estimate slightly — fine) + only the
+    # un-folded round dirs (folded dirs stay on disk until vacuum but are
+    # superseded); legacy mode reads only the last round's dir (older dirs
+    # are history). Walk is O(live dirs), not O(rounds) — called once per round.
     if cfg.frontier_deltas:
         tiers = store.tiers("frontier_log")
         floor = tiers[-1]["upto"] if tiers else -1
-        total = dir_bytes(store._base_dir("frontier_log", floor)) if tiers else 0
+        total = sum(_dir_bytes(store._base_dir("frontier_log", t["upto"])) for t in tiers)
         for r in store.committed_rounds():
             if r > floor:
-                total += dir_bytes(store._table_round_dir("frontier_log", r))
+                total += _dir_bytes(store._table_round_dir("frontier_log", r))
     else:
         last = store.last_committed_round()
-        total = dir_bytes(store._table_round_dir("frontier", last)) if last is not None else 0
+        total = _dir_bytes(store._table_round_dir("frontier", last)) if last is not None else 0
     return total >= cfg.rank_prefilter_auto_min_rows * _FRONTIER_BYTES_PER_ROW_EST
 
 
@@ -494,8 +580,9 @@ def _run_round(
     bcasts: list,
 ) -> dict:
     round_ts = cfg.round_ts(round_id)
+    live_parts: list[DataFrame] = []
     pending, deferred, bloom = pending_frontier(
-        spark, store, round_id, cfg, bcasts, persisted=persisted
+        spark, store, round_id, cfg, bcasts, persisted=persisted, parts_out=live_parts
     )
 
     # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
@@ -643,21 +730,62 @@ def _run_round(
         #          row) + robots-disallowed keys.
         cand = retries.unionByName(discovered)
         cand_keys = cand.select("url_hash").distinct()
-        # incumbents = unchanged live rows competing with a candidate key:
-        # (gated ∖ scheduled) covers leftover + quarantined; deferred rows
-        # bypass the gate by design. Semi/anti joins broadcast the small side.
-        inc_gated = (
-            gated.join(F.broadcast(cand_keys), "url_hash", "left_semi")
-            .join(F.broadcast(scheduled.select("url_hash")), "url_hash", "left_anti")
-            .select(*FRONTIER_COLS)
-        )
-        inc_deferred = deferred.join(F.broadcast(cand_keys), "url_hash", "left_semi").select(
-            *FRONTIER_COLS
-        )
+        # incumbents = unchanged live rows competing with a candidate key.
+        # Two regimes, flipped by the same driver-side churn estimate as the
+        # live view's tier joins (cfg.broadcast_churn_max_keys):
+        if _churn_broadcast_ok(store, round_id - 1, cfg):
+            # broadcast regime (normal scale): probe the ROUND-CACHED gated/
+            # deferred views — (gated ∖ scheduled) covers leftover +
+            # quarantined; deferred rows bypass the gate by design. The key
+            # sets are round-churn-sized → forced broadcast is the fast join.
+            inc_gated = (
+                gated.join(F.broadcast(cand_keys), "url_hash", "left_semi")
+                .join(F.broadcast(scheduled.select("url_hash")), "url_hash", "left_anti")
+                .select(*FRONTIER_COLS)
+            )
+            inc = inc_gated.unionByName(
+                deferred.join(F.broadcast(cand_keys), "url_hash", "left_semi").select(
+                    *FRONTIER_COLS
+                )
+            )
+        else:
+            # merge regime (churn too big to collect into the driver): probe
+            # each live BRANCH — every branch keeps HashPartitioning(url_hash,
+            # P) (live_frontier_parts contract), so the semi-joins shuffle
+            # ONLY the repartitioned key set (its exchange is reused across
+            # branches), never the backlog. The probe result is ≤ |cand| rows
+            # per branch; the robots flag is re-derived on it (broadcast
+            # join), and incumbents keep exactly the broadcast regime's rows:
+            # (eligible ∧ allowed ∧ ¬scheduled) ∪ ¬eligible — an eligible-but-
+            # disallowed row is tombstoned this round, never an incumbent.
+            ck = cand_keys.repartition(cfg.num_buckets, "url_hash")
+            probe = None
+            for p in live_parts:
+                hit = p.join(ck, "url_hash", "left_semi")
+                probe = hit if probe is None else probe.unionByName(hit)
+            if probe is None:
+                inc = None
+            else:
+                elig = F.col("next_eligible_ts").isNull() | (
+                    F.col("next_eligible_ts") <= F.lit(round_ts).cast("timestamp")
+                )
+                inc = (
+                    gate_frontier_flagged(probe, robots)
+                    .where(F.col("robots_allowed") | ~elig)
+                    .drop("robots_allowed")
+                    .join(
+                        scheduled.select("url_hash").repartition(
+                            cfg.num_buckets, "url_hash"
+                        ),
+                        "url_hash",
+                        "left_anti",
+                    )
+                    .select(*FRONTIER_COLS)
+                )
         winners = dedup_within_batch(
-            cand.unionByName(inc_gated)
-            .unionByName(inc_deferred)
-            .repartition(cfg.num_buckets, "url_hash"),
+            (cand if inc is None else cand.unionByName(inc)).repartition(
+                cfg.num_buckets, "url_hash"
+            ),
             key="url_hash",
             prefer=_prefer,
         )
@@ -742,8 +870,11 @@ def _run_round(
     store.commit_round(round_id, tables, extra_meta={"round_ts": round_ts})
     # maintain the cumulative bloom sidecar: delta bloom over this round's
     # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap.
-    # Skipped entirely on the bucketed layout — nothing ever probes it there.
-    if _use_bloom(store, cfg):
+    # Skipped entirely on the bucketed layout — nothing ever probes it there —
+    # AND in delta mode, where no read path probes the seen-set at all (a
+    # delta-mode round would otherwise overwrite the sidecar with just its
+    # own delta bloom: wasted work + a broken cumulative contract, ADVICE r4).
+    if not cfg.frontier_deltas and _use_bloom(store, cfg):
         delta = build_sharded_bloom(
             seen_delta,
             num_shards=cfg.num_buckets,
@@ -863,28 +994,49 @@ def run_crawl(
             robots = parse_robots_table(robots_source(spark, r))
         stats.append(run_round(spark, store, pages, robots, r, cfg))
         if cfg.compact_every and r % cfg.compact_every == 0:
-            store.compact(spark, "seen_delta", up_to=r, num_buckets=cfg.num_buckets)
+            store.compact(
+                spark,
+                "seen_delta",
+                up_to=r,
+                num_buckets=cfg.num_buckets,
+                max_tiers=cfg.fold_max_tiers,
+            )
             if cfg.frontier_deltas:
-                # event-log fold: per-key latest state, tombstones dropped —
-                # always major (max_tiers=1; a partial tier could not be
-                # reached by later dels). Amortized O(live/compact_every) per
-                # round vs the legacy mode's O(live) write EVERY round.
+                # TIERED event-log fold: a minor fold resolves only the
+                # rounds since the newest tier — O(window churn), keeping
+                # tombstones that target older tiers — so the only O(live)
+                # job left anywhere is the major fold every
+                # fold_max_tiers·compact_every rounds (amortized
+                # O(live/(T·K)) per round; was O(live/K) with the round-4
+                # always-major fold, and O(live) EVERY round in legacy mode).
                 store.compact(
                     spark,
                     "frontier_log",
                     up_to=r,
                     num_buckets=cfg.num_buckets,
-                    max_tiers=1,
+                    max_tiers=cfg.fold_max_tiers,
                     resolver=resolve_frontier_log,
                 )
+            if cfg.vacuum_after_fold:
+                store.vacuum_compacted("seen_delta", spark)
+                if cfg.frontier_deltas:
+                    store.vacuum_compacted("frontier_log", spark)
     return stats
 
 
-def resolve_frontier_log(df: DataFrame) -> DataFrame:
+def resolve_frontier_log(df: DataFrame, terminal: bool = True) -> DataFrame:
     """Fold resolver for the frontier event log: the SAME latest-event
-    resolution as the live read path (:func:`_resolve_events`), tombstoned
-    keys dropped — the folded tier holds exactly the live frontier rows, in
-    the log's own schema."""
-    return (
-        _resolve_events(df).where(~F.col("is_del")).select(*FRONTIER_LOG_COLS)
-    )
+    resolution as the live read path (:func:`_resolve_events`), in the log's
+    own schema.
+
+    ``terminal`` (statestore.compact's flag): True when the fold output has
+    no tier beneath it (major fold / first tier) — tombstoned keys can then
+    be dropped outright. A non-terminal MINOR fold resolves only its own
+    round window, so a tombstone may target a key living in an OLDER tier:
+    those rows are KEPT (the tier's keys shadow older tiers at read; the
+    final ``~is_del`` filter drops them from the live view). This is what
+    bounds fold cost by the churn window instead of the 10^10-row backlog."""
+    out = _resolve_events(df)
+    if terminal:
+        out = out.where(~F.col("is_del"))
+    return out.select(*FRONTIER_LOG_COLS)

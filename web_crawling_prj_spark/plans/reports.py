@@ -15,6 +15,7 @@ cadence, timeout, half-failure abort — are fully testable offline.
 
 from __future__ import annotations
 
+import logging
 import math
 import time
 from collections.abc import Callable
@@ -187,14 +188,31 @@ def run_report_pipeline(
     for j in jobs:
         # reference create timeout (base_init_reports_dag.py:82-83): a create
         # call that exceeds the budget marks the JOB failed (counted against
-        # the half-failure abort below) instead of hanging the whole pipeline
+        # the half-failure abort below) instead of hanging the whole pipeline.
+        # The check is POST-HOC — it cannot interrupt a create that hangs
+        # forever (the reference's asyncio timeout can; a sync client should
+        # carry its own socket timeout ≤ create_timeout_s). A create that
+        # SUCCEEDED but blew the budget is cancelled server-side when the
+        # client supports it, so no orphaned remote report keeps running
+        # while counting toward the half-failure abort (ADVICE r4).
         t0 = time.monotonic()
         try:
             service.create(j)
         except Exception:
+            logging.getLogger(__name__).warning(
+                "report create failed for %s", j.report_id, exc_info=True
+            )
             j.status = "failed"
             continue
         if time.monotonic() - t0 > cfg.create_timeout_s:
+            cancel = getattr(service, "cancel", None)
+            if cancel is not None:
+                try:
+                    cancel(j)
+                except Exception:
+                    logging.getLogger(__name__).warning(
+                        "cancel failed for %s", j.report_id, exc_info=True
+                    )
             j.status = "failed"
 
     pending = [j for j in jobs if j.status == "created"]

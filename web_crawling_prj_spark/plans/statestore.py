@@ -346,13 +346,19 @@ class StateStore:
         atomic pointer swap either way. Returns the new tier's upto round, or
         None if there is nothing to fold.
 
-        ``resolver``: optional ``DataFrame -> DataFrame`` applied to the
-        folded union before writing — for EVENT-LOG tables (e.g. the crawl's
-        ``frontier_log``) whose fold must resolve per-key latest state rather
-        than concatenate rows. Event-log semantics need every layer in one
-        resolution, so pass ``max_tiers=1`` with it (folds are always major);
-        a minor fold of an event log would bake a partial window into a tier
-        that later deletes could no longer reach."""
+        ``resolver``: optional callable applied to the folded union before
+        writing — for EVENT-LOG tables (e.g. the crawl's ``frontier_log``)
+        whose fold must resolve per-key latest state rather than concatenate
+        rows. Called as ``resolver(df, terminal)`` when its signature takes
+        two parameters (``resolver(df)`` otherwise, for older callers):
+        ``terminal=True`` means the fold output becomes the OLDEST tier
+        (major fold, or the store's first tier) — no older layer exists that
+        a tombstone could still target, so the resolver may drop tombstones.
+        A non-terminal MINOR fold resolves only its own window and must KEEP
+        tombstone rows (they shadow keys living in older tiers); readers
+        chain tiers newest-over-oldest (each tier's keys shadow older tiers)
+        and filter tombstones last — fold cost is O(window churn), never a
+        rewrite of the accumulated live set."""
         cur = self.tiers(table)
         floor = cur[-1]["upto"] if cur else -1
         new_rounds = [
@@ -370,7 +376,14 @@ class StateStore:
             paths = [self._table_round_dir(table, r) for r in new_rounds]
             df = self._read_rounds(spark, table, paths)
         if resolver is not None:
-            df = resolver(df)
+            import inspect
+
+            try:
+                n_params = len(inspect.signature(resolver).parameters)
+            except (TypeError, ValueError):  # builtins/partials without signatures
+                n_params = 2
+            terminal = major or not cur  # fold output has no tier beneath it
+            df = resolver(df, terminal) if n_params >= 2 else resolver(df)
         new_dir = self._base_dir(table, upto)
         tier: dict[str, Any] = {"upto": upto}
         if table in self.bucket_spec:
