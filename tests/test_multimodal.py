@@ -309,3 +309,72 @@ def test_resize_and_features_real_gif(gif_media):
     v = np.pad(v, (0, 16 - len(v)))  # 24x36 pools to a 2x4 grid → pad
     expect = v / np.linalg.norm(v)
     np.testing.assert_allclose(rows[0], expect, rtol=1e-6)
+
+
+# --- auto-activating real backends (skip-marked, mirror the SCD2 MERGE
+# engine test: these run end-to-end the moment PIL / PyAV appear in the
+# image — until then the skip marker documents the environment gap) ---
+
+from web_crawling_prj_spark.operators.multimodal import _has_lib  # noqa: E402
+
+HAS_PIL = _has_lib("PIL")
+HAS_AV = _has_lib("av")
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed — auto-activates when it is")
+def test_real_jpeg_end_to_end_with_pil(spark):
+    """With PIL present, a real JPEG decodes / resizes / featurizes through
+    the SAME operators with no config change, and the stub gate is
+    unreachable (DECODE_BACKEND auto-defaults to 'real')."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from web_crawling_prj_spark.operators import multimodal as mm
+
+    assert mm.DECODE_BACKEND == "real"  # auto-activated by the probe
+    img = np.tile(np.arange(48, dtype=np.uint8) * 5, (32, 1))  # 32x48 gradient
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="JPEG", quality=95)
+    df = spark.createDataFrame([(0, bytearray(buf.getvalue()))], "doc_id long, media binary")
+
+    meta = decode_metadata(df).collect()[0]
+    assert (meta.media_type, meta.width, meta.height) == ("image", 48, 32)
+
+    out = resize_images(df, max_side=16).collect()[0]
+    with Image.open(io.BytesIO(bytes(out.media))) as im2:
+        assert max(im2.size) <= 16 and im2.format == "JPEG"
+
+    feat = np.array(extract_features(df, dim=16).collect()[0].feature)
+    assert np.isclose(np.linalg.norm(feat), 1.0, atol=1e-5)
+    assert np.std(feat) > 0  # real pixels, not a constant stub
+
+
+@pytest.mark.skipif(not HAS_AV, reason="PyAV not installed — auto-activates when it is")
+def test_real_audio_container_metadata_with_av(spark):
+    """With PyAV present, a real audio container's duration flows into the
+    typed metadata struct through the same decode_metadata operator."""
+    import io
+
+    import av
+    import numpy as np
+
+    from web_crawling_prj_spark.operators import multimodal as mm
+
+    assert mm.DECODE_BACKEND == "real"
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="wav") as c:
+        stream = c.add_stream("pcm_s16le", rate=8000, layout="mono")
+        frame = av.AudioFrame.from_ndarray(
+            np.zeros((1, 8000), dtype=np.int16), format="s16", layout="mono"
+        )
+        frame.sample_rate = 8000
+        for packet in stream.encode(frame):
+            c.mux(packet)
+        for packet in stream.encode(None):
+            c.mux(packet)
+    df = spark.createDataFrame([(0, bytearray(buf.getvalue()))], "doc_id long, media binary")
+    meta = decode_metadata(df).collect()[0]
+    assert meta.media_type == "audio"
+    assert meta.duration_ms >= 900  # ~1 s of PCM

@@ -95,7 +95,9 @@ def test_minhash_neardups_golden_exact_jaccard(spark, sf_dir):
         u = sh[a] | sh[b]
         return len(sh[a] & sh[b]) / len(u) if u else 1.0
 
-    rows = entry.queries()["minhash_neardups"](spark, sf_dir).collect()
+    # retired from the queries() listing (superseded by oracle-exact
+    # minhash_neardups_md5) but the xxhash64 operator stays golden-tested
+    rows = entry.q_minhash_neardups(spark, sf_dir).collect()
     assert rows
     uf = UnionFind()
     for r in rows:

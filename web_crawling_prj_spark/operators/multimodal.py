@@ -10,11 +10,21 @@ operators so the JVM↔Python boundary moves whole columnar batches, never rows.
 extra dependencies. The remaining kernels (JPEG, audio, video: PIL/ffmpeg/
 torchaudio are NOT in this container) stay stubbed behind ``DECODE_BACKEND``:
 
-- ``"fake"`` (default): deterministic synthetic decode — parses the payload's
+- ``"fake"``: deterministic synthetic decode — parses the payload's
   self-describing header (our synthetic media blobs carry width/height/etc. in
   the first bytes) and emits real-shaped features. All Spark-side plumbing —
   schema, batch shape, partitioning, UDF signatures — is REAL and tested.
-- ``"real"``: raises NotImplementedError with the dependency note.
+- ``"real"``: raises NotImplementedError with the dependency note — but ONLY
+  when no real backend could take the blob first.
+
+**Auto-activation** (mirrors operators.scd2's provider-based MERGE capability
+detection): every real-media branch PROBES for PIL (images) and PyAV
+(audio/video) at decode time — the moment either library appears in the
+image, JPEG/BMP/... blobs decode/resize/extract for real and the stubs
+become unreachable, with no code or config change. ``DECODE_BACKEND``
+defaults to ``"real"`` when a backend library is importable, ``"fake"``
+otherwise. Skip-marked end-to-end tests (tests/test_multimodal.py) run the
+real paths automatically once the libraries exist.
 
 Per-blob dispatch: a PNG magic prefix always takes the real stdlib path
 (backend-independent — it needs no missing dependency); WCPM-magic synthetic
@@ -36,7 +46,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-DECODE_BACKEND = "fake"  # the only backend available in this container
+def _has_lib(name: str) -> bool:
+    """Import-probe for an optional real-media backend (driver OR worker —
+    local mode shares the env; on a cluster each side probes its own)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
+
+
+#: "real" auto-activates when a backend library is importable (none are in
+#: this container, so the default here is "fake" — but an image WITH PIL/av
+#: flips it with zero config, like scd2's MERGE capability detection)
+DECODE_BACKEND = "real" if (_has_lib("PIL") or _has_lib("av")) else "fake"
+
+
+def _pil_open(blob: bytes):
+    """Real-image decode via PIL when available; None when PIL is absent or
+    the blob isn't a PIL-decodable image (caller falls through to the stub
+    gate). Probed per call site so workers that DO have PIL use it even if
+    the driver captured backend='fake'."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        im = Image.open(io.BytesIO(blob))
+        im.load()
+        return im
+    except Exception:
+        return None
+
+
+def _av_meta(blob: bytes):
+    """Container metadata via PyAV when available: (media_type, width,
+    height, duration_ms) or None."""
+    try:
+        import av
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with av.open(io.BytesIO(blob)) as c:
+            dur_ms = int((c.duration or 0) / 1000)  # av duration is in µs
+            vs = next((s for s in c.streams if s.type == "video"), None)
+            if vs is not None and vs.codec_context is not None:
+                return (
+                    "video",
+                    int(vs.codec_context.width or 0),
+                    int(vs.codec_context.height or 0),
+                    dur_ms,
+                )
+            if any(s.type == "audio" for s in c.streams):
+                return "audio", 0, 0, dur_ms
+    except Exception:
+        return None
+    return None
 
 MEDIA_META_SCHEMA = (
     "media_type string, width int, height int, duration_ms int, payload_bytes long"
@@ -90,8 +160,20 @@ def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, in
         return _MTYPES.get(m, "unknown"), w, h, dur
     head = bytes(blob[:12])
     plausible = head.startswith(_REAL_MEDIA_MAGICS) or head[4:8] == b"ftyp"
-    if plausible and backend != "fake":
-        raise NotImplementedError("real non-PNG media decode needs PIL/av — not in this container")
+    if plausible:
+        # auto-activated real backends first — when PIL/av exist the stub
+        # below is unreachable (scd2-MERGE-style capability detection)
+        im = _pil_open(bytes(blob))
+        if im is not None:
+            return "image", int(im.width), int(im.height), 0
+        meta = _av_meta(bytes(blob))
+        if meta is not None:
+            return meta
+        if backend != "fake":
+            raise NotImplementedError(
+                "real non-PNG media decode needs PIL/av — not in this container "
+                "(or the blob is undecodable by the installed backends)"
+            )
     raise ValueError("not a WCPM media blob or PNG")
 
 
@@ -157,14 +239,21 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
                     if len(v) < dim:
                         v = np.pad(v, (0, dim - len(v)))
                 else:
-                    if backend != "fake":  # per-blob gate: PNG above stays real
+                    im = _pil_open(bytes(b)) if bytes(b[:4]) != _MAGIC else None
+                    if im is not None:  # auto-activated real image path
+                        img = np.asarray(im.convert("L"), dtype=np.float64)
+                        v = resize_nearest(img, grid).reshape(-1)[:dim]
+                        if len(v) < dim:
+                            v = np.pad(v, (0, dim - len(v)))
+                    elif backend != "fake":  # per-blob gate: PNG above stays real
                         raise NotImplementedError(
                             "real non-PNG feature extraction needs a model runtime"
                         )
-                    raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
-                    if len(raw) < 64:
-                        raw = np.pad(raw, (0, 64 - len(raw)))
-                    v = raw @ proj
+                    else:
+                        raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
+                        if len(raw) < 64:
+                            raw = np.pad(raw, (0, 64 - len(raw)))
+                        v = raw @ proj
                 n = np.linalg.norm(v)
                 feats.append([float(x) for x in (v / n if n else v)])
             yield pdf.assign(feature=feats)
@@ -202,6 +291,18 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
                 if bytes(b[:6]) in GIF_MAGICS:  # real pixels, real re-encode
                     out.append(gif_encode(resize_nearest(gif_decode(bytes(b)), max_side)))
                     continue
+                if bytes(b[:4]) != _MAGIC:
+                    im = _pil_open(bytes(b))
+                    if im is not None:  # auto-activated: PIL resample + re-encode
+                        import io
+
+                        scale = min(1.0, max_side / max(im.width, im.height))
+                        nw = max(1, int(im.width * scale))
+                        nh = max(1, int(im.height * scale))
+                        buf = io.BytesIO()
+                        im.resize((nw, nh)).save(buf, format=im.format or "PNG")
+                        out.append(buf.getvalue())
+                        continue
                 mt, w, h, dur = _parse_header(b, backend)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
