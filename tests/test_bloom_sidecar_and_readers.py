@@ -40,7 +40,11 @@ def test_bloom_sidecar_in_store(spark, tmp_path):
 
 def test_incremental_bloom_across_rounds(spark, tmp_path, sf_dir):
     """use_bloom=True end-to-end: round 2+ loads the sidecar instead of
-    rebuilding, and dedup results stay identical to the no-bloom run."""
+    rebuilding, and dedup results stay identical to the no-bloom run.
+
+    Legacy (frontier_deltas=False) mode: the bloom sidecar accelerates the
+    read-time seen join, which delta mode doesn't have — delta rounds skip
+    the sidecar entirely (r4 ADVICE), so the legacy path is pinned here."""
     from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, run_crawl
     from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
 
@@ -50,7 +54,10 @@ def test_incremental_bloom_across_rounds(spark, tmp_path, sf_dir):
 
     outs = {}
     for use_bloom in (True, False):
-        cfg = CrawlConfig(num_buckets=8, n_salts=4, max_per_host=25, default_budget=25, use_bloom=use_bloom)
+        cfg = CrawlConfig(
+            num_buckets=8, n_salts=4, max_per_host=25, default_budget=25,
+            use_bloom=use_bloom, frontier_deltas=False,
+        )
         cfg.extra["max_doc_id"] = max_doc
         store = StateStore(str(tmp_path / f"b{use_bloom}"))
         run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
