@@ -623,6 +623,54 @@ def test_vacuum_after_fold_bounds_store_dirs(spark, tmp_path, crawl_inputs):
     shutil.rmtree(str(tmp_path / "novac"))
 
 
+def test_churn_broadcast_regime_survives_fold_and_vacuum(spark, tmp_path):
+    """Regression (round-5 review): the broadcast↔merge regime estimate must
+    NOT collapse to 0 on the first round after a fold. The un-folded window
+    is empty right after a fold, but the next round's candidate keys are
+    ≈ last round's churn — at 10^8-key rounds, force-broadcasting them is
+    the exact OOM cliff broadcast_churn_max_keys exists to prevent. The
+    estimate floors at the newest non-empty round dir, and falls back to the
+    newest tier when vacuum reclaimed the round dirs too."""
+    from web_crawling_prj_spark.plans.crawl_round import (
+        FRONTIER_LOG_COLS,
+        _churn_broadcast_ok,
+        resolve_frontier_log,
+    )
+
+    store = StateStore(str(tmp_path / "regime"))
+    rows = (
+        spark.range(4000)
+        .select(
+            F.concat(F.lit("http://h"), F.col("id")).alias("url"),
+            F.concat(F.lit("http://h"), F.col("id")).alias("url_canon"),
+            F.col("id").alias("url_hash"),
+            F.lit("h").alias("host"),
+            F.lit(1.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("timestamp").alias("discovered_ts"),
+            F.lit(None).cast("long").alias("src_url_hash"),
+            F.lit(0).alias("attempt"),
+            F.lit(None).cast("timestamp").alias("next_eligible_ts"),
+            F.lit(1).alias("evt_round"),
+            F.lit(False).alias("is_del"),
+        )
+        .select(*FRONTIER_LOG_COLS)
+    )
+    store.commit_round(1, {"frontier_log": rows})
+    # 4000-key churn vs a 10-key broadcast ceiling → merge regime...
+    cfg = CrawlConfig(num_buckets=4, broadcast_churn_max_keys=10)
+    assert not _churn_broadcast_ok(store, 1, cfg)
+    store.compact(spark, "frontier_log", up_to=1, max_tiers=4, resolver=resolve_frontier_log)
+    # ...and STILL the merge regime right after the fold (window empty, round
+    # dir present: last-round floor) and after vacuum (tier fallback)
+    assert not _churn_broadcast_ok(store, 1, cfg)
+    store.vacuum_compacted("frontier_log")
+    assert not _churn_broadcast_ok(store, 1, cfg)
+    # a genuinely tiny-churn store keeps the broadcast regime throughout
+    roomy = CrawlConfig(num_buckets=4, broadcast_churn_max_keys=1_000_000)
+    assert _churn_broadcast_ok(store, 1, roomy)
+
+
 def test_delta_mode_commit_volume_tracks_churn_not_frontier(spark, tmp_path, crawl_inputs):
     """The delta store's per-round frontier commit is bounded by round
     ACTIVITY (adds = retries + discovery winners; dels = scheduled +

@@ -311,6 +311,46 @@ def test_resize_and_features_real_gif(gif_media):
     np.testing.assert_allclose(rows[0], expect, rtol=1e-6)
 
 
+def test_auto_backend_family_fallback_without_pil(spark):
+    """Under the default 'auto' backend with NO image library installed, a
+    real-media blob keeps the deterministic FAKE contract instead of raising:
+    a partial install (or none) must never break a family that the fake path
+    handled before auto-activation existed. Strict 'real' is the only mode
+    that raises for the environment gap (test_png_path_is_backend_independent
+    covers it)."""
+    import numpy as np
+
+    from web_crawling_prj_spark.operators import multimodal as mm
+
+    if mm._has_lib("PIL"):
+        pytest.skip("PIL installed — the fallback branch is unreachable here")
+    assert mm.DECODE_BACKEND == "auto"
+    jpeg_df = spark.createDataFrame(
+        [(0, bytearray(b"\xff\xd8\xff\xe0" + bytes(range(64))))], "doc_id long, media binary"
+    )
+    # features: fake projection, unit-norm, no NotImplementedError
+    feat = np.array(extract_features(jpeg_df, dim=16).collect()[0].feature)
+    assert np.isclose(np.linalg.norm(feat), 1.0, atol=1e-5)
+    # metadata: undecodable real media is a DATA error under auto (same
+    # contract as fake), never the strict backend's environment-gap stub
+    with pytest.raises(Exception, match="ValueError|not a WCPM"):
+        decode_metadata(jpeg_df).collect()
+
+
+def test_resize_passthrough_when_within_max_side(spark):
+    """A PNG already within max_side passes through BYTE-identical — no
+    same-size re-encode (which for lossy formats would degrade pixels on
+    every pipeline pass)."""
+    import numpy as np
+
+    from web_crawling_prj_spark.functions.png import png_encode
+
+    blob = png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    df = spark.createDataFrame([(0, bytearray(blob))], "doc_id long, media binary")
+    out = resize_images(df, max_side=16).collect()[0]
+    assert bytes(out.media) == blob
+
+
 # --- auto-activating real backends (skip-marked, mirror the SCD2 MERGE
 # engine test: these run end-to-end the moment PIL / PyAV appear in the
 # image — until then the skip marker documents the environment gap) ---
@@ -325,7 +365,7 @@ HAS_AV = _has_lib("av")
 def test_real_jpeg_end_to_end_with_pil(spark):
     """With PIL present, a real JPEG decodes / resizes / featurizes through
     the SAME operators with no config change, and the stub gate is
-    unreachable (DECODE_BACKEND auto-defaults to 'real')."""
+    unreachable (the default 'auto' backend detects PIL per family)."""
     import io
 
     import numpy as np
@@ -333,7 +373,7 @@ def test_real_jpeg_end_to_end_with_pil(spark):
 
     from web_crawling_prj_spark.operators import multimodal as mm
 
-    assert mm.DECODE_BACKEND == "real"  # auto-activated by the probe
+    assert mm.DECODE_BACKEND == "auto" and mm._has_lib("PIL")
     img = np.tile(np.arange(48, dtype=np.uint8) * 5, (32, 1))  # 32x48 gradient
     buf = io.BytesIO()
     Image.fromarray(img, mode="L").save(buf, format="JPEG", quality=95)
@@ -362,7 +402,7 @@ def test_real_audio_container_metadata_with_av(spark):
 
     from web_crawling_prj_spark.operators import multimodal as mm
 
-    assert mm.DECODE_BACKEND == "real"
+    assert mm.DECODE_BACKEND == "auto" and mm._has_lib("av")
     buf = io.BytesIO()
     with av.open(buf, mode="w", format="wav") as c:
         stream = c.add_stream("pcm_s16le", rate=8000, layout="mono")

@@ -10,21 +10,27 @@ operators so the JVM↔Python boundary moves whole columnar batches, never rows.
 extra dependencies. The remaining kernels (JPEG, audio, video: PIL/ffmpeg/
 torchaudio are NOT in this container) stay stubbed behind ``DECODE_BACKEND``:
 
+- ``"auto"`` (default): per-blob, PER-FAMILY capability detection (mirrors
+  operators.scd2's provider-based MERGE detection) — the moment PIL (images)
+  or PyAV (audio/video) appears in the image, that family's blobs
+  decode/resize/extract for real with no code or config change; a family
+  whose library is absent keeps the deterministic fake contract below. A
+  partial install (e.g. PyAV without PIL) therefore never breaks the other
+  family — it upgrades only its own.
 - ``"fake"``: deterministic synthetic decode — parses the payload's
   self-describing header (our synthetic media blobs carry width/height/etc. in
-  the first bytes) and emits real-shaped features. All Spark-side plumbing —
-  schema, batch shape, partitioning, UDF signatures — is REAL and tested.
-- ``"real"``: raises NotImplementedError with the dependency note — but ONLY
-  when no real backend could take the blob first.
+  the first bytes) and emits real-shaped features; NEVER probes the real
+  libraries, so output is deterministic even on a machine that has them. All
+  Spark-side plumbing — schema, batch shape, partitioning, UDF signatures —
+  is REAL and tested.
+- ``"real"``: strict — a blob neither the stdlib codecs nor an installed
+  library can decode raises NotImplementedError with the dependency note
+  (the honest environment-gap stub).
 
-**Auto-activation** (mirrors operators.scd2's provider-based MERGE capability
-detection): every real-media branch PROBES for PIL (images) and PyAV
-(audio/video) at decode time — the moment either library appears in the
-image, JPEG/BMP/... blobs decode/resize/extract for real and the stubs
-become unreachable, with no code or config change. ``DECODE_BACKEND``
-defaults to ``"real"`` when a backend library is importable, ``"fake"``
-otherwise. Skip-marked end-to-end tests (tests/test_multimodal.py) run the
-real paths automatically once the libraries exist.
+The import probes are cached per process (workers re-import this module, so
+each worker probes once — never once per blob). Skip-marked end-to-end tests
+(tests/test_multimodal.py) run the real paths automatically once the
+libraries exist.
 
 Per-blob dispatch: a PNG magic prefix always takes the real stdlib path
 (backend-independent — it needs no missing dependency); WCPM-magic synthetic
@@ -46,9 +52,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _has_lib(name: str) -> bool:
-    """Import-probe for an optional real-media backend (driver OR worker —
-    local mode shares the env; on a cluster each side probes its own)."""
+    """Cached import-probe for an optional real-media backend — once per
+    process (driver OR worker; workers re-import this module and probe their
+    own env), never per blob: a failed ``import`` is NOT cached by Python, so
+    an uncached probe inside the mapInPandas hot loop would re-scan sys.path
+    for every blob."""
     import importlib.util
 
     try:
@@ -57,21 +70,19 @@ def _has_lib(name: str) -> bool:
         return False
 
 
-#: "real" auto-activates when a backend library is importable (none are in
-#: this container, so the default here is "fake" — but an image WITH PIL/av
-#: flips it with zero config, like scd2's MERGE capability detection)
-DECODE_BACKEND = "real" if (_has_lib("PIL") or _has_lib("av")) else "fake"
+#: "auto" = per-family capability detection (see module docstring); set to
+#: "fake" for bit-deterministic output everywhere, "real" for the strict
+#: environment-gap stub
+DECODE_BACKEND = "auto"
 
 
 def _pil_open(blob: bytes):
     """Real-image decode via PIL when available; None when PIL is absent or
     the blob isn't a PIL-decodable image (caller falls through to the stub
-    gate). Probed per call site so workers that DO have PIL use it even if
-    the driver captured backend='fake'."""
-    try:
-        from PIL import Image
-    except ImportError:
+    gate). Probed per worker process, short-circuited per blob."""
+    if not _has_lib("PIL"):
         return None
+    from PIL import Image
     import io
 
     try:
@@ -85,10 +96,9 @@ def _pil_open(blob: bytes):
 def _av_meta(blob: bytes):
     """Container metadata via PyAV when available: (media_type, width,
     height, duration_ms) or None."""
-    try:
-        import av
-    except ImportError:
+    if not _has_lib("av"):
         return None
+    import av
     import io
 
     try:
@@ -160,20 +170,22 @@ def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, in
         return _MTYPES.get(m, "unknown"), w, h, dur
     head = bytes(blob[:12])
     plausible = head.startswith(_REAL_MEDIA_MAGICS) or head[4:8] == b"ftyp"
-    if plausible:
-        # auto-activated real backends first — when PIL/av exist the stub
-        # below is unreachable (scd2-MERGE-style capability detection)
+    if plausible and backend != "fake":
+        # auto/real: per-family capability detection — when PIL/av exist the
+        # strict stub below is unreachable for their family
         im = _pil_open(bytes(blob))
         if im is not None:
             return "image", int(im.width), int(im.height), 0
         meta = _av_meta(bytes(blob))
         if meta is not None:
             return meta
-        if backend != "fake":
+        if backend == "real":  # strict: environment gap, not a data error
             raise NotImplementedError(
                 "real non-PNG media decode needs PIL/av — not in this container "
                 "(or the blob is undecodable by the installed backends)"
             )
+    # fake (never probes), or auto with the family's library absent: real
+    # media the stdlib codecs can't parse is a data error, same as garbage
     raise ValueError("not a WCPM media blob or PNG")
 
 
@@ -239,17 +251,19 @@ def extract_features(media: DataFrame, blob_col: str = "media", dim: int = 16) -
                     if len(v) < dim:
                         v = np.pad(v, (0, dim - len(v)))
                 else:
-                    im = _pil_open(bytes(b)) if bytes(b[:4]) != _MAGIC else None
+                    im = None
+                    if backend != "fake" and bytes(b[:4]) != _MAGIC:
+                        im = _pil_open(bytes(b))  # auto/real: family probe
                     if im is not None:  # auto-activated real image path
                         img = np.asarray(im.convert("L"), dtype=np.float64)
                         v = resize_nearest(img, grid).reshape(-1)[:dim]
                         if len(v) < dim:
                             v = np.pad(v, (0, dim - len(v)))
-                    elif backend != "fake":  # per-blob gate: PNG above stays real
+                    elif backend == "real":  # strict: PNG/GIF above stay real
                         raise NotImplementedError(
                             "real non-PNG feature extraction needs a model runtime"
                         )
-                    else:
+                    else:  # fake, or auto with the image library absent
                         raw = np.frombuffer(b[-64:], dtype=np.uint8).astype(np.float64)
                         if len(raw) < 64:
                             raw = np.pad(raw, (0, 64 - len(raw)))
@@ -281,22 +295,39 @@ def resize_images(media: DataFrame, blob_col: str = "media", max_side: int = 256
 
     backend = DECODE_BACKEND  # driver-side capture (workers re-import the module)
 
+    from web_crawling_prj_spark.functions.gif import decode_screen
+    from web_crawling_prj_spark.functions.png import decode_ihdr
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for b in pdf[blob_col]:
+                # already within max_side → byte passthrough: no upscale ever,
+                # and no wasted (for JPEG: LOSSY) same-size re-encode — cheap
+                # header-only dims check, the pixel decode never runs
                 if b[:8] == PNG_MAGIC:  # real pixels, real resample
+                    w, h, _, _ = decode_ihdr(bytes(b))
+                    if max(w, h) <= max_side:
+                        out.append(bytes(b))
+                        continue
                     out.append(png_encode(resize_nearest(png_decode(bytes(b)), max_side)))
                     continue
                 if bytes(b[:6]) in GIF_MAGICS:  # real pixels, real re-encode
+                    w, h = decode_screen(bytes(b))
+                    if max(w, h) <= max_side:
+                        out.append(bytes(b))
+                        continue
                     out.append(gif_encode(resize_nearest(gif_decode(bytes(b)), max_side)))
                     continue
-                if bytes(b[:4]) != _MAGIC:
-                    im = _pil_open(bytes(b))
-                    if im is not None:  # auto-activated: PIL resample + re-encode
+                if backend != "fake" and bytes(b[:4]) != _MAGIC:
+                    im = _pil_open(bytes(b))  # auto/real: family probe
+                    if im is not None:  # PIL resample + re-encode
                         import io
 
-                        scale = min(1.0, max_side / max(im.width, im.height))
+                        if max(im.width, im.height) <= max_side:
+                            out.append(bytes(b))
+                            continue
+                        scale = max_side / max(im.width, im.height)
                         nw = max(1, int(im.width * scale))
                         nh = max(1, int(im.height * scale))
                         buf = io.BytesIO()

@@ -273,19 +273,37 @@ def _resolve_recent_log(deltas: list[DataFrame], num_buckets: int) -> DataFrame:
 
 def _churn_broadcast_ok(store: StateStore, upto_round: int, cfg: CrawlConfig) -> bool:
     """One regime switch per round for every forced-broadcast churn-key join:
-    True while the un-folded frontier_log window's estimated key count stays
-    under cfg.broadcast_churn_max_keys. Driver-side file-size arithmetic over
-    the un-folded round dirs (no Spark job); the window bounds the resolved
-    recent-event key set exactly and tracks the per-round candidate/scheduled
-    key sets (each ≤ one round's churn ≲ the window) — a 2× estimate error
-    just moves the broadcast↔merge crossover, both regimes are correct."""
+    True while the estimated churn-key count stays under
+    cfg.broadcast_churn_max_keys. Driver-side file-size arithmetic (no Spark
+    job); a 2× estimate error just moves the broadcast↔merge crossover, both
+    regimes are correct.
+
+    The estimate is max(un-folded window bytes, newest non-empty round's
+    bytes): the window bounds the resolved recent-event key set exactly, and
+    the last-round floor keeps the first round AFTER a fold honest — its
+    window is empty, but THIS round's candidate keys are ≈ last round's
+    churn, which must not be force-broadcast just because the log was folded
+    (at 10^8-key rounds that broadcast is the exact OOM cliff this switch
+    exists to prevent). When the round dirs are vacuumed too, the newest
+    tier stands in: a minor tier is the last window's resolved churn (a ≤K×
+    overestimate — conservative); a major tier is the whole backlog, which
+    errs to the merge regime — always correct, never the memory cliff."""
     tiers = store.tiers("frontier_log")
     floor = tiers[-1]["upto"] if tiers else -1
-    total = 0
+    window = 0
+    last_round = 0
     for r in store.committed_rounds():
-        if floor < r <= upto_round:
-            total += _dir_bytes(store._table_round_dir("frontier_log", r))
-    return total // _FRONTIER_BYTES_PER_ROW_EST <= cfg.broadcast_churn_max_keys
+        if r > upto_round:
+            continue
+        b = _dir_bytes(store._table_round_dir("frontier_log", r))
+        if r > floor:
+            window += b
+        if b:
+            last_round = b  # committed_rounds is ascending → newest wins
+    est = max(window, last_round)
+    if est == 0 and tiers:
+        est = _dir_bytes(store._base_dir("frontier_log", floor))
+    return est // _FRONTIER_BYTES_PER_ROW_EST <= cfg.broadcast_churn_max_keys
 
 
 def live_frontier_parts(
@@ -294,6 +312,7 @@ def live_frontier_parts(
     upto_round: int,
     cfg: CrawlConfig,
     persisted: list | None = None,
+    bcast_ok: bool | None = None,
 ) -> tuple[list[DataFrame], DataFrame | None]:
     """The live frontier as a LIST of branches whose union is the live view,
     each branch keeping the store's HashPartitioning(url_hash, num_buckets)
@@ -321,7 +340,9 @@ def live_frontier_parts(
         if persisted is not None:
             resolved = resolved.persist()
             persisted.append(resolved)
-    bcast_ok = _churn_broadcast_ok(store, upto_round, cfg)
+    if bcast_ok is None:  # round-constant; _run_round computes it ONCE and
+        # passes it down (the estimate walks the store's round dirs)
+        bcast_ok = _churn_broadcast_ok(store, upto_round, cfg)
     parts: list[DataFrame] = []
     for i, b in enumerate(bases):  # oldest→newest
         branch = b.where(~F.col("is_del")).select(*FRONTIER_COLS)
@@ -354,6 +375,7 @@ def live_frontier(
     cfg: CrawlConfig,
     persisted: list | None = None,
     parts_out: list | None = None,
+    bcast_ok: bool | None = None,
 ) -> DataFrame:
     """The live frontier as of committed round ``upto_round``, either mode.
 
@@ -369,7 +391,9 @@ def live_frontier(
     layout-preserving branches."""
     if not cfg.frontier_deltas:
         return store.read_round(spark, "frontier", upto_round)
-    parts, _resolved = live_frontier_parts(spark, store, upto_round, cfg, persisted=persisted)
+    parts, _resolved = live_frontier_parts(
+        spark, store, upto_round, cfg, persisted=persisted, bcast_ok=bcast_ok
+    )
     if parts_out is not None:
         parts_out.extend(parts)
     if not parts:
@@ -404,6 +428,7 @@ def pending_frontier(
     bcasts: list,
     persisted: list | None = None,
     parts_out: list | None = None,
+    bcast_ok: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, "object"]:
     """Steps 0–2 of a round: read the committed frontier, split by backoff
     eligibility, and dedup vs the seen-set → (pending, deferred, bloom).
@@ -419,7 +444,8 @@ def pending_frontier(
     round_ts = cfg.round_ts(round_id)
     if cfg.frontier_deltas:
         frontier = live_frontier(
-            spark, store, round_id - 1, cfg, persisted=persisted, parts_out=parts_out
+            spark, store, round_id - 1, cfg,
+            persisted=persisted, parts_out=parts_out, bcast_ok=bcast_ok,
         )
     else:
         frontier = store.read_round(spark, "frontier", round_id - 1)
@@ -581,8 +607,12 @@ def _run_round(
 ) -> dict:
     round_ts = cfg.round_ts(round_id)
     live_parts: list[DataFrame] = []
+    # churn-broadcast regime: round-constant — estimated ONCE here, shared by
+    # the live view's tier joins and the incumbent probe below
+    bcast_ok = _churn_broadcast_ok(store, round_id - 1, cfg) if cfg.frontier_deltas else True
     pending, deferred, bloom = pending_frontier(
-        spark, store, round_id, cfg, bcasts, persisted=persisted, parts_out=live_parts
+        spark, store, round_id, cfg, bcasts,
+        persisted=persisted, parts_out=live_parts, bcast_ok=bcast_ok,
     )
 
     # 3) robots gate (broadcast join + codegen'd prefix predicate). Persisted
@@ -733,7 +763,7 @@ def _run_round(
         # incumbents = unchanged live rows competing with a candidate key.
         # Two regimes, flipped by the same driver-side churn estimate as the
         # live view's tier joins (cfg.broadcast_churn_max_keys):
-        if _churn_broadcast_ok(store, round_id - 1, cfg):
+        if bcast_ok:
             # broadcast regime (normal scale): probe the ROUND-CACHED gated/
             # deferred views — (gated ∖ scheduled) covers leftover +
             # quarantined; deferred rows bypass the gate by design. The key
