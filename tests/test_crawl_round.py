@@ -623,6 +623,49 @@ def test_vacuum_after_fold_bounds_store_dirs(spark, tmp_path, crawl_inputs):
     shutil.rmtree(str(tmp_path / "novac"))
 
 
+@pytest.mark.parametrize(
+    "compact_every,fold_max_tiers,vacuum",
+    [
+        (1, 1, True),   # fold EVERY round, always-major, vacuum — max pressure
+        (1, 3, False),  # fold every round into a 3-tier stack (deep tombstone
+                        # shadowing: every tier but the first carries dels)
+        (3, 2, True),   # staggered minor/major folds with vacuum racing reads
+    ],
+)
+def test_fold_schedule_sweep_equals_legacy(
+    spark, tmp_path, crawl_inputs, compact_every, fold_max_tiers, vacuum
+):
+    """Fold-schedule property: ANY (compact_every, fold_max_tiers,
+    vacuum_after_fold) combination reproduces the exact legacy crawl. The
+    targeted tests pin one schedule each; this sweep covers the aggressive
+    corners — fold-every-round (the un-folded window is empty at EVERY
+    round boundary, so the post-fold regime estimate and the drained-
+    detection paths run constantly) and deep tier stacks (tier-vs-tier
+    tombstone shadowing through 3 layers)."""
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    tag = f"{compact_every}_{fold_max_tiers}_{vacuum}"
+    co = dataclasses.replace(cfg, frontier_deltas=False, compact_every=0)
+    co.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    cn = dataclasses.replace(
+        cfg,
+        frontier_deltas=True,
+        compact_every=compact_every,
+        fold_max_tiers=fold_max_tiers,
+        vacuum_after_fold=vacuum,
+    )
+    cn.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    a = crawl_store(str(tmp_path / f"sw_old_{tag}"), co)
+    b = crawl_store(str(tmp_path / f"sw_new_{tag}"), cn)
+    sa = run_crawl(spark, a, pages, robots, seeds, rounds=5, cfg=co)
+    sb = run_crawl(spark, b, pages, robots, seeds, rounds=5, cfg=cn)
+    assert sa == sb
+    assert _final_state(a, spark) == _final_state(b, spark)
+    shutil.rmtree(str(tmp_path / f"sw_old_{tag}"))
+    shutil.rmtree(str(tmp_path / f"sw_new_{tag}"))
+
+
 def test_churn_broadcast_regime_survives_fold_and_vacuum(spark, tmp_path):
     """Regression (round-5 review): the broadcast↔merge regime estimate must
     NOT collapse to 0 on the first round after a fold. The un-folded window
