@@ -199,6 +199,61 @@ def bench_frontier_core_bucketed(
     }
 
 
+
+# --- shared helpers for the frontier state benches (commit + fold) ---
+
+#: (col, type) pairs a tombstone row nulls out — FRONTIER_COLS minus url_hash
+_FRONTIER_NULL_STATE = [
+    ("url", "string"),
+    ("url_canon", "string"),
+    ("host", "string"),
+    ("priority", "double"),
+    ("depth", "int"),
+    ("discovered_ts", "timestamp"),
+    ("src_url_hash", "long"),
+    ("attempt", "int"),
+    ("next_eligible_ts", "timestamp"),
+]
+
+
+def _bench_frontier_rows(spark, lo: int, hi: int):
+    """synthetic_frontier widened to the crawl's full FRONTIER_COLS schema."""
+    return synthetic_frontier(spark, hi, lo=lo).select(
+        F.col("url_canon").alias("url"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("timestamp").alias("discovered_ts"),
+        F.lit(None).cast("long").alias("src_url_hash"),
+        F.lit(0).alias("attempt"),
+        F.lit(None).cast("timestamp").alias("next_eligible_ts"),
+    )
+
+
+def _bench_del_rows(keys_df, r: int):
+    """url_hash keys → frontier_log tombstone rows for round ``r``."""
+    from web_crawling_prj_spark.plans.crawl_round import FRONTIER_LOG_COLS
+
+    return keys_df.select(
+        "url_hash",
+        *[F.lit(None).cast(t).alias(c) for c, t in _FRONTIER_NULL_STATE],
+        F.lit(r).alias("evt_round"),
+        F.lit(True).alias("is_del"),
+    ).select(*FRONTIER_LOG_COLS)
+
+
+def _bench_dir_bytes(path: str) -> int:
+    """TOTAL on-disk footprint (every file, not just parquet — the write-amp
+    benches charge manifests/markers too, unlike crawl_round._dir_bytes)."""
+    total = 0
+    for dp, _dn, fns in os.walk(path):
+        for fn in fns:
+            total += os.path.getsize(os.path.join(dp, fn))
+    return total
+
+
 def bench_frontier_commit(
     spark, n: int, churn: int, rounds: int = 3, num_buckets: int = 32
 ) -> dict:
@@ -222,36 +277,13 @@ def bench_frontier_commit(
         resolve_frontier_log,
     )
 
-    def frontier_rows(lo: int, hi: int):
-        # the bench's one frontier shape (synthetic_frontier), widened to the
-        # crawl's full FRONTIER_COLS schema
-        return synthetic_frontier(spark, hi, lo=lo).select(
-            F.col("url_canon").alias("url"),
-            "url_canon",
-            "url_hash",
-            "host",
-            "priority",
-            F.lit(0).alias("depth"),
-            F.lit(None).cast("timestamp").alias("discovered_ts"),
-            F.lit(None).cast("long").alias("src_url_hash"),
-            F.lit(0).alias("attempt"),
-            F.lit(None).cast("timestamp").alias("next_eligible_ts"),
-        )
-
-    def dir_bytes(path):
-        total = 0
-        for dp, _dn, fns in os.walk(path):
-            for fn in fns:
-                total += os.path.getsize(os.path.join(dp, fn))
-        return total
-
     out = {"n": n, "churn": churn, "rounds": rounds}
     for mode in ("delta", "legacy"):
         root = f"/dev/shm/wcp-bench-commit-{mode}-{os.getpid()}"
         shutil.rmtree(root, ignore_errors=True)
         cfg = CrawlConfig(num_buckets=num_buckets, frontier_deltas=(mode == "delta"))
         store = crawl_store(root, cfg)
-        f0 = frontier_rows(0, n).repartition(num_buckets, "url_hash")
+        f0 = _bench_frontier_rows(spark, 0, n).repartition(num_buckets, "url_hash")
         empty_seen = spark.createDataFrame(
             [], "url_hash long, bucket int, first_seen_round int, first_seen_ts timestamp"
         )
@@ -275,32 +307,12 @@ def bench_frontier_commit(
             sched_keys = live.where(
                 F.pmod(F.xxhash64("url_hash", F.lit(r)), F.lit(max(1, n // churn))) == 0
             ).select("url_hash")
-            adds = frontier_rows(n + r * churn, n + (r + 1) * churn)
+            adds = _bench_frontier_rows(spark, n + r * churn, n + (r + 1) * churn)
             if mode == "delta":
                 log_r = (
                     adds.withColumns({"evt_round": F.lit(r), "is_del": F.lit(False)})
                     .select(*FRONTIER_LOG_COLS)
-                    .unionByName(
-                        sched_keys.select(
-                            "url_hash",
-                            *[
-                                F.lit(None).cast(t).alias(c)
-                                for c, t in [
-                                    ("url", "string"),
-                                    ("url_canon", "string"),
-                                    ("host", "string"),
-                                    ("priority", "double"),
-                                    ("depth", "int"),
-                                    ("discovered_ts", "timestamp"),
-                                    ("src_url_hash", "long"),
-                                    ("attempt", "int"),
-                                    ("next_eligible_ts", "timestamp"),
-                                ]
-                            ],
-                            F.lit(r).alias("evt_round"),
-                            F.lit(True).alias("is_del"),
-                        ).select(*FRONTIER_LOG_COLS)
-                    )
+                    .unionByName(_bench_del_rows(sched_keys, r))
                     .repartition(num_buckets, "url_hash")
                 )
                 store.commit_round(r, {"frontier_log": log_r})
@@ -314,7 +326,7 @@ def bench_frontier_commit(
                 store.commit_round(r, {"frontier": nxt})
             walls.append(round(time.time() - t0, 3))
             tbl = "frontier_log" if mode == "delta" else "frontier"
-            bytes_per_round.append(dir_bytes(store._table_round_dir(tbl, r)))
+            bytes_per_round.append(_bench_dir_bytes(store._table_round_dir(tbl, r)))
         out[mode] = {
             "round_walls_s": walls,
             "round_bytes": bytes_per_round,
@@ -347,27 +359,6 @@ def bench_frontier_fold(
         resolve_frontier_log,
     )
 
-    def frontier_rows(lo: int, hi: int):
-        return synthetic_frontier(spark, hi, lo=lo).select(
-            F.col("url_canon").alias("url"),
-            "url_canon",
-            "url_hash",
-            "host",
-            "priority",
-            F.lit(0).alias("depth"),
-            F.lit(None).cast("timestamp").alias("discovered_ts"),
-            F.lit(None).cast("long").alias("src_url_hash"),
-            F.lit(0).alias("attempt"),
-            F.lit(None).cast("timestamp").alias("next_eligible_ts"),
-        )
-
-    def dir_bytes(path):
-        total = 0
-        for dp, _dn, fns in os.walk(path):
-            for fn in fns:
-                total += os.path.getsize(os.path.join(dp, fn))
-        return total
-
     root = f"/dev/shm/wcp-bench-fold-{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     cfg = CrawlConfig(num_buckets=num_buckets, frontier_deltas=True)
@@ -375,7 +366,7 @@ def bench_frontier_fold(
     out = {"n": n, "churn": churn, "window_rounds": rounds}
     try:
         log0 = (
-            frontier_rows(0, n)
+            _bench_frontier_rows(spark, 0, n)
             .withColumns({"evt_round": F.lit(0), "is_del": F.lit(False)})
             .select(*FRONTIER_LOG_COLS)
             .repartition(num_buckets, "url_hash")
@@ -384,28 +375,10 @@ def bench_frontier_fold(
         store.compact(
             spark, "frontier_log", up_to=0, max_tiers=4, resolver=resolve_frontier_log
         )  # terminal first tier = the standing backlog
-        null_state = [
-            ("url", "string"),
-            ("url_canon", "string"),
-            ("host", "string"),
-            ("priority", "double"),
-            ("depth", "int"),
-            ("discovered_ts", "timestamp"),
-            ("src_url_hash", "long"),
-            ("attempt", "int"),
-            ("next_eligible_ts", "timestamp"),
-        ]
         for r in range(1, rounds + 1):
-            adds = frontier_rows(n + r * churn, n + (r + 1) * churn)
-            dels = (
-                synthetic_frontier(spark, (r + 1) * churn, lo=r * churn)
-                .select(
-                    "url_hash",
-                    *[F.lit(None).cast(t).alias(c) for c, t in null_state],
-                    F.lit(r).alias("evt_round"),
-                    F.lit(True).alias("is_del"),
-                )
-                .select(*FRONTIER_LOG_COLS)
+            adds = _bench_frontier_rows(spark, n + r * churn, n + (r + 1) * churn)
+            dels = _bench_del_rows(
+                synthetic_frontier(spark, (r + 1) * churn, lo=r * churn).select("url_hash"), r
             )
             log_r = (
                 adds.withColumns({"evt_round": F.lit(r), "is_del": F.lit(False)})
@@ -420,11 +393,11 @@ def bench_frontier_fold(
             spark, "frontier_log", up_to=rounds, max_tiers=4, resolver=resolve_frontier_log
         )
         minor_wall = time.time() - t0
-        minor_bytes = dir_bytes(store._base_dir("frontier_log", rounds))
+        minor_bytes = _bench_dir_bytes(store._base_dir("frontier_log", rounds))
         # MAJOR fold: one more round, then force tier merge — the whole
         # backlog is rewritten (what EVERY fold cost before round 5)
         extra = (
-            frontier_rows(n + (rounds + 1) * churn, n + (rounds + 2) * churn)
+            _bench_frontier_rows(spark, n + (rounds + 1) * churn, n + (rounds + 2) * churn)
             .withColumns({"evt_round": F.lit(rounds + 1), "is_del": F.lit(False)})
             .select(*FRONTIER_LOG_COLS)
             .repartition(num_buckets, "url_hash")
@@ -439,7 +412,7 @@ def bench_frontier_fold(
             resolver=resolve_frontier_log,
         )
         major_wall = time.time() - t0
-        major_bytes = dir_bytes(store._base_dir("frontier_log", rounds + 1))
+        major_bytes = _bench_dir_bytes(store._base_dir("frontier_log", rounds + 1))
         out["minor"] = {
             "wall_s": round(minor_wall, 3),
             "bytes": minor_bytes,

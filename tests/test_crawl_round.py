@@ -608,17 +608,26 @@ def test_vacuum_after_fold_bounds_store_dirs(spark, tmp_path, crawl_inputs):
     # folded rounds reclaimed; only the un-folded window survives
     assert round_dirs(a, "frontier_log") == []  # fold at r4 covers all rounds
     assert round_dirs(a, "seen_delta") == []
-    # simulate a kill mid-vacuum: delete PART of a folded dir, then resume —
-    # current-head reads never touch superseded dirs, next fold's vacuum
-    # finishes the job
+    # simulate a kill MID-vacuum: resurrect a superseded round-3 dir (vacuum
+    # deleted rounds 1-4 after the r4 fold; a kill between two rmtrees leaves
+    # exactly this shape — some folded dirs gone, one still on disk). Head
+    # reads must ignore it (≤ fold floor), and the NEXT fold's vacuum must
+    # finish the job.
+    remnant = os.path.join(a.root, "frontier_log", "round=000003")
+    os.makedirs(remnant)
+    with open(os.path.join(remnant, "part-00000-stale.parquet"), "wb") as fh:
+        fh.write(b"stale bytes from a killed vacuum")  # never read: r3 <= floor
     run_crawl(spark, a, pages, robots, seeds, rounds=5, cfg=cv)
-    assert round_dirs(a, "frontier_log") == ["round=000005"]
+    assert round_dirs(a, "frontier_log") == ["round=000003", "round=000005"]
     run_crawl(spark, b, pages, robots, seeds, rounds=5, cfg=cn)
-    assert _final_state(a, spark) == _final_state(b, spark)
-    # resume past the vacuumed history keeps working
+    assert _final_state(a, spark) == _final_state(b, spark)  # remnant ignored
+    # resume past the vacuumed history keeps working, and the r6 fold's
+    # vacuum repairs the killed one: the round-3 remnant is gone
     run_crawl(spark, a, pages, robots, seeds, rounds=7, cfg=cv)
     run_crawl(spark, b, pages, robots, seeds, rounds=7, cfg=cn)
     assert _final_state(a, spark) == _final_state(b, spark)
+    assert not os.path.exists(remnant)
+    assert round_dirs(a, "frontier_log") == ["round=000007"]
     shutil.rmtree(str(tmp_path / "vac"))
     shutil.rmtree(str(tmp_path / "novac"))
 

@@ -94,6 +94,7 @@ def test_shingles_match_python_reference(spark, sf_dir):
             (10_000_002, ""),
             (10_000_003, "x y x y x y"),
             (10_000_004, "Tabs\tand\nnewlines_and__underscores  here"),
+            (10_000_005, None),  # NULL text ≡ empty text: both yield [""]
         ],
         "doc_id long, text string",
     )

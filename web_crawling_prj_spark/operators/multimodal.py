@@ -176,9 +176,16 @@ def _parse_header(blob: bytes, backend: str = "fake") -> tuple[str, int, int, in
         im = _pil_open(bytes(blob))
         if im is not None:
             return "image", int(im.width), int(im.height), 0
-        meta = _av_meta(bytes(blob))
-        if meta is not None:
-            return meta
+        # image-only magics (JPEG, BMP) never fall through to the av probe:
+        # ffmpeg's jpeg_pipe/bmp_pipe demuxers expose them as a single-frame
+        # "video" stream, so a PyAV-without-PIL install would silently
+        # reclassify every JPEG as media_type='video' — exactly the
+        # cross-family breakage per-family activation promises not to have.
+        # (RIFF stays eligible for both: WebP→PIL above, WAV/AVI→av here.)
+        if not head.startswith((b"\xff\xd8\xff", b"BM")):
+            meta = _av_meta(bytes(blob))
+            if meta is not None:
+                return meta
         if backend == "real":  # strict: environment gap, not a data error
             raise NotImplementedError(
                 "real non-PNG media decode needs PIL/av — not in this container "

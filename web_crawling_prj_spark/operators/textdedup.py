@@ -192,7 +192,11 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     Value-stability matters: these shingles feed the DuckDB-oracle-exact
     md5-minhash pipeline, so the rewrite must not change a single gram."""
     toks = tokens_col(text_col)
-    s = F.size(toks)
+    # NULL text: size(NULL)=NULL would dodge the ==0 branch and make the
+    # whole expression NULL — the naive form returned [""] for NULL text
+    # (concat_ws over a NULL slice), and the md5-oracle parity depends on
+    # NULL and empty docs staying signature-identical
+    s = F.coalesce(F.size(toks), F.lit(0))
     grams = toks
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, F.greatest(s - i, F.lit(0)))

@@ -292,14 +292,25 @@ def _churn_broadcast_ok(store: StateStore, upto_round: int, cfg: CrawlConfig) ->
     floor = tiers[-1]["upto"] if tiers else -1
     window = 0
     last_round = 0
-    for r in store.committed_rounds():
+    # newest-first: sum the un-folded window, then stop at the FIRST
+    # non-empty (or vacuumed — vacuum removes a contiguous ≤floor prefix)
+    # folded dir — O(window + 1) walks per round, never O(all rounds)
+    for r in reversed(store.committed_rounds()):
         if r > upto_round:
             continue
-        b = _dir_bytes(store._table_round_dir("frontier_log", r))
+        d = store._table_round_dir("frontier_log", r)
         if r > floor:
+            b = _dir_bytes(d)
             window += b
-        if b:
-            last_round = b  # committed_rounds is ascending → newest wins
+            if b and not last_round:
+                last_round = b
+        else:
+            if last_round or not os.path.isdir(d):
+                break
+            b = _dir_bytes(d)
+            if b:
+                last_round = b
+                break
     est = max(window, last_round)
     if est == 0 and tiers:
         est = _dir_bytes(store._base_dir("frontier_log", floor))

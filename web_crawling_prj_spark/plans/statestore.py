@@ -380,8 +380,12 @@ class StateStore:
 
             try:
                 n_params = len(inspect.signature(resolver).parameters)
-            except (TypeError, ValueError):  # builtins/partials without signatures
-                n_params = 2
+            except (TypeError, ValueError):
+                # uninspectable callable (C-implemented, odd partials): these
+                # are exactly the legacy 1-param callers the fallback exists
+                # for — every 2-param resolver in this codebase is a plain
+                # Python function whose signature inspects fine
+                n_params = 1
             terminal = major or not cur  # fold output has no tier beneath it
             df = resolver(df, terminal) if n_params >= 2 else resolver(df)
         new_dir = self._base_dir(table, upto)
