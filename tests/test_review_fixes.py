@@ -141,6 +141,29 @@ def test_csv_skip_rows_real(spark, tmp_path):
     assert got == [("A", 1.5), ("B", 2.0)]
 
 
+def test_csv_skip_rows_quoted_newline_and_permissive(spark, tmp_path):
+    """RFC-4180 corners of the skip_rows path: a quoted field with an
+    embedded newline stays ONE record (the old split-on-newline parse broke
+    it in half), quoted delimiters survive, and a malformed numeric cell
+    goes NULL (PERMISSIVE parity) instead of raising under ANSI."""
+    p = tmp_path / "report2.csv"
+    p.write_text(
+        'junk 1\njunk 2\nsku,descr,price\n'
+        'A,"line one\nline two",1.5\n'
+        'B,"has, comma",2.0\n'
+        "C,plain,not_a_number\n"
+    )
+    df = read(
+        spark, "csv", str(p), schema="sku string, descr string, price double", skip_rows=2
+    )
+    got = {r.sku: (r.descr, r.price) for r in df.collect()}
+    assert got == {
+        "A": ("line one\nline two", 1.5),
+        "B": ("has, comma", 2.0),
+        "C": ("plain", None),
+    }
+
+
 def test_full_rebuild_seeds_incremental_circuit(spark):
     """Recovery path: host_circuit_state output must be usable as `prev` for
     update_circuit_state (schema parity with CIRCUIT_STATE_SCHEMA)."""

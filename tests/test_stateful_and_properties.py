@@ -23,6 +23,10 @@ def test_token_bucket_stream(spark, tmp_path):
     t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
     rows = [("https://hot.example/p%d" % i, 0.5, 0, t0) for i in range(15)]
     rows += [("https://cold.example/p%d" % i, 0.5, 0, t0) for i in range(2)]
+    # a null discovered_ts must be DROPPED by the gate (its timestamp is the
+    # gate's clock) — before the guard it reached the state fn as NaN and
+    # poison-pilled the query on every replay
+    rows += [("https://null.example/p0", 0.5, 0, None)]
     df = spark.createDataFrame(rows, "url string, priority double, depth int, discovered_ts timestamp")
     drop = str(tmp_path / "drop")
     df.coalesce(1).write.parquet(drop)
@@ -43,6 +47,7 @@ def test_token_bucket_stream(spark, tmp_path):
     cold = [r for r in out if r.host == "cold.example"]
     assert sum(r.admitted for r in hot) == 10 and sum(not r.admitted for r in hot) == 5
     assert all(r.admitted for r in cold) and len(cold) == 2
+    assert not [r for r in out if r.host == "null.example"]  # null-ts dropped
 
 
 def test_token_bucket_state_persists_across_batches(spark, tmp_path):

@@ -82,6 +82,12 @@ def test_sink_to_frontier_exactly_once(spark, drop_zone, tmp_path):
     q2 = sink_to_frontier(stream_frontier(spark, drop_zone), str(tmp_path / "out"), str(tmp_path / "ck3"))
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == first == 2
+    # REPLAYED epoch (fresh checkpoint → epoch 0 runs again, the shape a
+    # crash between write and checkpoint-commit leaves): the epoch-dir
+    # overwrite replaces its own output — an append sink would double to 4
+    q3 = sink_to_frontier(stream_frontier(spark, drop_zone), str(tmp_path / "out"), str(tmp_path / "ck3b"))
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
 
 
 # ---------- sinks ----------

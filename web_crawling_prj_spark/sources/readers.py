@@ -35,28 +35,56 @@ def _csv(spark: SparkSession, path: str, schema=None, skip_rows: int = 0, **opts
     """CSV scan (S1) incl. header-offset variant (S5: Google reports carry 2
     junk lines, gg_ads.init_dag_iload_gg_ads.py:24).
 
-    OSS Spark has no 'skipRows' CSV option (Databricks-only), so skip_rows > 0
-    takes the wholetext path: each file is read whole, its first `skip_rows`
-    lines sliced off deterministically, the next line treated as the header,
-    and the remainder parsed with from_csv. Report files are small (driver-side
-    exports), so one-row-per-file wholetext is the right trade.
+    OSS Spark has no 'skipRows' CSV option (Databricks-only; the option is
+    silently ignored here — verified on 4.1), so skip_rows > 0 takes the
+    wholetext path: each file is read whole, its first `skip_rows` PHYSICAL
+    lines + the header line sliced off, and the remaining body parsed with
+    Python's RFC-4180 csv reader inside mapInPandas — a quoted field
+    containing an embedded newline stays ONE record (the previous
+    split-on-newline + from_csv approach silently broke such records in
+    half). Values land as strings and are try_cast to the schema (PERMISSIVE
+    parity: malformed cells → NULL, not an ANSI error). Report files are
+    small (driver-side exports), so one-row-per-file wholetext is the right
+    trade.
     """
     if skip_rows:
         if schema is None:
-            raise ValueError("skip_rows requires an explicit schema (from_csv parse)")
+            raise ValueError("skip_rows requires an explicit schema")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
-        ddl = schema if isinstance(schema, str) else schema.simpleString()
-        whole = spark.read.text(path, wholetext=True)
-        lines = F.split(F.regexp_replace(F.col("value"), "\r\n", "\n"), "\n")
-        # drop junk lines + the header line; keep non-empty data lines
-        data = F.filter(
-            F.slice(lines, skip_rows + 2, F.size(lines)), lambda s: F.length(s) > 0
+        st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        delim = str(opts.get("sep", opts.get("delimiter", ",")))
+        quote = str(opts.get("quote", '"'))
+        names = [f.name for f in st.fields]
+
+        def parse(it):
+            import csv as _csvmod
+            import io as _io
+
+            import pandas as _pd
+
+            for pdf in it:
+                recs: list[list] = []
+                for txt in pdf["value"]:
+                    body = (txt or "").replace("\r\n", "\n")
+                    # junk region is PHYSICAL lines (pandas skiprows parity);
+                    # +1 drops the header line that follows it
+                    parts = body.split("\n", skip_rows + 1)
+                    body = parts[-1] if len(parts) > skip_rows + 1 else ""
+                    for row in _csvmod.reader(
+                        _io.StringIO(body), delimiter=delim, quotechar=quote
+                    ):
+                        if row and any(c != "" for c in row):
+                            recs.append((row + [None] * len(names))[: len(names)])
+                yield _pd.DataFrame(recs, columns=names, dtype=object)
+
+        raw = spark.read.text(path, wholetext=True).mapInPandas(
+            parse, schema=", ".join(f"`{n}` string" for n in names)
         )
-        parsed = whole.select(
-            F.explode(data).alias("_line")
-        ).select(F.from_csv(F.col("_line"), ddl, opts).alias("_r")).select("_r.*")
-        return parsed
+        return raw.select(
+            *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in st.fields]
+        )
     r = spark.read.option("header", "true")
     for k, v in opts.items():
         r = r.option(k, v)

@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parquet_writer(df: DataFrame, mode: str, partition_cols: list[str] | None):
+    """One writer chain for every parquet sink here: with partition columns,
+    dynamic partition overwrite replaces only the touched partitions."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_cols)
+    return w
+
+
 def write_keyed(df: DataFrame, path: str, key_col: str, mode: str = "append", partition_cols: list[str] | None = None) -> None:
     """S10: the reference writes one file per key (``{sku}.json``); at scale the
     filename-key becomes the ``key_col`` COLUMN and rows land in (optionally
@@ -30,10 +39,7 @@ def write_keyed(df: DataFrame, path: str, key_col: str, mode: str = "append", pa
     replaces only the touched partitions); plain append is the fetch-log path."""
     if key_col not in df.columns:
         raise ValueError(f"key column {key_col!r} not in {df.columns}")
-    w = df.write.mode(mode)
-    if partition_cols:
-        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_cols)
-    w.parquet(path)
+    _parquet_writer(df, mode, partition_cols).parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, quote_all: bool = True, header: bool = True) -> None:
@@ -55,18 +61,25 @@ def jdbc_append(df: DataFrame, url: str, table: str, **opts) -> None:
 
 
 def truncate_reload(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
-    """S14: truncate+append ≡ overwrite; with partition columns Spark's dynamic
-    partition overwrite replaces only touched partitions."""
-    w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    """S14: truncate+append ≡ overwrite — the same writer chain as
+    :func:`write_keyed`'s overwrite path, minus the key-column contract."""
+    _parquet_writer(df, "overwrite", partition_cols).parquet(path)
 
 
-def unzip_csv_rows(df: DataFrame, blob_col: str = "zip_blob", csv_opts: dict | None = None) -> DataFrame:
+def unzip_csv_rows(
+    df: DataFrame,
+    blob_col: str = "zip_blob",
+    csv_opts: dict | None = None,
+    sample_blob: bytes | None = None,
+) -> DataFrame:
     """S16: binary zip payload → rows of its first CSV member, decoded inside
     mapInPandas (reference `_zip_file_to_csv`). Output schema: source row's key
-    columns + csv text line columns parsed by pandas."""
+    columns + csv text line columns parsed by pandas.
+
+    ``sample_blob``: optional representative zip payload used for schema
+    discovery. Without it, one non-null blob is collected from ``df`` — an
+    extra Spark job that recomputes the upstream plan; pass the sample when
+    the input pipeline is expensive."""
     keys = [c for c in df.columns if c != blob_col]
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,13 +99,23 @@ def unzip_csv_rows(df: DataFrame, blob_col: str = "zip_blob", csv_opts: dict | N
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    # schema: keys + discovered csv columns; caller passes a sample to fix it
-    sample = df.limit(1).collect()
-    if not sample:
-        raise ValueError("cannot infer zip-csv schema from an empty DataFrame")
-    blob = bytes(sample[0][blob_col])
-    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+    if sample_blob is None:
+        # skip null blobs (failed fetches — the rows fn itself skips): the
+        # first row being null must not crash schema discovery
+        sample = df.where(F.col(blob_col).isNotNull()).limit(1).collect()
+        if not sample:
+            raise ValueError("cannot infer zip-csv schema: no non-null blobs")
+        sample_blob = bytes(sample[0][blob_col])
+    with zipfile.ZipFile(io.BytesIO(sample_blob)) as z:
         cols = pd.read_csv(io.StringIO(z.read(z.namelist()[0]).decode()), dtype=str, nrows=0, **(csv_opts or {})).columns
+    clash = sorted(set(cols) & set(keys))
+    if clash:
+        # a duplicate field name would both break downstream resolution AND
+        # silently clobber the CSV's values with the outer row's key value
+        raise ValueError(
+            f"zip CSV columns collide with key columns: {clash} — rename the "
+            f"key columns or drop them before unzip_csv_rows"
+        )
     key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != blob_col)
     csv_schema = ", ".join(f"`{c}` string" for c in cols)
     schema = ", ".join(x for x in [csv_schema, key_schema] if x)

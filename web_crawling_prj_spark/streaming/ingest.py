@@ -112,16 +112,21 @@ def host_sessions(discoveries: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 
 def sink_to_frontier(discoveries: DataFrame, out_dir: str, checkpoint_dir: str):
-    """foreachBatch bridge: append micro-batches to the batch-round drop table.
+    """foreachBatch bridge: land micro-batches in the batch-round drop table.
 
-    foreachBatch + checkpointLocation gives exactly-once appends per epoch; the
-    batch round's within-batch dedup + seen anti-join make replays harmless
-    anyway (idempotent by key), mirroring the reference's file-per-key
+    foreachBatch alone is AT-LEAST-ONCE — a crash between the write and the
+    checkpoint commit replays the epoch. Each epoch therefore OVERWRITES its
+    own partition directory (``epoch_id=N``): the replayed epoch replaces its
+    previous partial/full output instead of appending a duplicate, making the
+    sink idempotent per epoch (file-level exactly-once). Readers of
+    ``out_dir`` see ``epoch_id`` as a partition column — same schema as the
+    old append layout. The batch round's within-batch dedup + seen anti-join
+    stay the key-level backstop, mirroring the reference's file-per-key
     idempotence (dags/common/base_source_dag.py:107-114).
     """
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
-        df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
 
     return (
         discoveries.writeStream.foreachBatch(write_epoch)

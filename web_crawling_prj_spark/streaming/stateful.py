@@ -123,10 +123,19 @@ def politeness_gate_stream(
 ):
     """discoveries (streaming DF with host/url_canon/url_hash/discovered_ts) →
     admitted/deferred rows via per-host token-bucket state. ``idle_ttl_ms``
-    enables processing-time state expiry for idle hosts (bounded state)."""
+    enables processing-time state expiry for idle hosts (bounded state).
+
+    Upstream contract: pass ``stream_frontier(..., dedup=False)`` — Spark
+    disallows ``applyInPandasWithState`` after any other stateful operator,
+    so the default ``dropDuplicatesWithinWatermark`` upstream fails the query
+    at start; run the gate first and the authoritative dedup in the batch
+    round (or a separate query). Rows with a NULL ``discovered_ts`` are
+    dropped here (native filter): the timestamp IS the gate's clock, and a
+    null would otherwise reach the state function as NaN and poison-pill the
+    query (the same batch replays on every restart)."""
     from pyspark.sql import functions as F
 
-    keyed = discoveries.select(
+    keyed = discoveries.where(F.col("discovered_ts").isNotNull()).select(
         "host",
         "url_canon",
         "url_hash",
