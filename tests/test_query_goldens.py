@@ -113,6 +113,42 @@ def test_minhash_neardups_golden_exact_jaccard(spark, sf_dir):
                 assert uf.find(a) == uf.find(b), f"missed near-dup pair ({a},{b})"
 
 
+def test_ngram_jaccard_pairs_golden_exact(spark, sf_dir):
+    """Query `ngram_jaccard_pairs` (also DuckDB-oracled): every returned
+    pair's jaccard EQUALS the pure-Python exact shingle-set Jaccard (to the
+    query's 4-digit rounding), is_dup thresholds the unrounded value, and
+    the pair list is exactly the md5-LSH candidate set."""
+    from web_crawling_prj_spark.operators.textdedup import (
+        minhash_candidate_pairs,
+        shingles_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = {
+        r.doc_id: frozenset(r.s)
+        for r in docs.select("doc_id", shingles_col("text").alias("s")).collect()
+    }
+
+    def jac(a: int, b: int) -> float:
+        u = sh[a] | sh[b]
+        return len(sh[a] & sh[b]) / len(u) if u else 1.0
+
+    rows = entry.q_ngram_jaccard(spark, sf_dir).collect()
+    assert rows
+    got_pairs = {(r.id_a, r.id_b) for r in rows}
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, jaccard_threshold=0.5, hash_fn="md5")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got_pairs == cand
+    for r in rows:
+        exact = jac(r.id_a, r.id_b)
+        assert abs(r.jaccard - round(exact, 4)) < 1e-9, (r.id_a, r.id_b, r.jaccard, exact)
+        assert r.is_dup == (exact >= 0.7), (r.id_a, r.id_b, exact, r.is_dup)
+
+
 def test_simhash_pairs_golden_bruteforce(spark, sf_dir):
     """Query `simhash_pairs`: hamming values re-verified against numpy
     popcount, and the banded result connects every brute-force pair with
