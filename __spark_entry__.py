@@ -716,6 +716,41 @@ def q_embedding_top_neighbor(spark, sf_dir):
     )
 
 
+def q_embedding_neardups(spark, sf_dir, tau: float = 0.4):
+    """Embedding-cosine near-dup DEDUP: cosine-threshold pairs → transitive
+    clusters (operators.graph.connected_components) → min-id representative,
+    one row per vector with (component, cluster_size, is_dup). Pair
+    generation here is the exact all-pairs baseline (same demo-scoped shape
+    as embedding_top_neighbor — one broadcast of the 64-float vectors, never
+    a shuffle of both sides); at 100 TB the ANN tiers (lsh_bucketed_topk /
+    ivf_topk) generate the candidate pairs and the clustering is unchanged.
+    Oracle: all-pairs cosine + WITH RECURSIVE min-label closure in DuckDB."""
+    from web_crawling_prj_spark.operators.graph import connected_components
+    from web_crawling_prj_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = F.broadcast(e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")))
+    pairs = (
+        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine("va", "vb"), 6) >= tau)
+        .select("id_a", "id_b")
+    )
+    labeled = (
+        e.select("vec_id")
+        .join(connected_components(pairs).withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("component"))
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "component").select(
+        "vec_id",
+        "component",
+        "cluster_size",
+        (F.col("vec_id") != F.col("component")).alias("is_dup"),
+    )
+
+
 def q_ann_lsh_md5_topk(spark, sf_dir):
     """ANN with the md5-Rademacher deterministic planes (zero-Python codegen
     signature, operators.similarity.hyperplane_signature_native): bucket on
@@ -914,8 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the q_ functions and their value-asserting goldens remain.)
         "crawl_rounds": q_crawl_rounds,
         # past the window but still oracle-backed (any local check_oracle run
-        # covers it): the decile twin of in-window order_value_percentiles
+        # covers them; both also carry value-asserting goldens/in-window twins)
         "order_value_deciles": q_order_value_deciles,  # oracle twin of percentiles
+        "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1498,6 +1534,25 @@ SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM r WHERE rk = 1
 """,
         "minhash_neardups_md5": _minhash_md5_oracle_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_oracle_sql(),
+        "embedding_neardups": """
+WITH RECURSIVE n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+nm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM nm a JOIN nm b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+allv AS (SELECT em.vec_id, coalesce(l.component, em.vec_id) AS component
+         FROM embeddings em LEFT JOIN lab l ON l.node = em.vec_id),
+sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM allv GROUP BY component)
+SELECT v.vec_id, v.component, sz.cluster_size, v.vec_id <> v.component AS is_dup
+FROM allv v JOIN sz USING (component)
+""",
         "dedup_components_incremental": _DEDUP_COMPONENTS_SQL,
         "exact_dup_flags": """
 WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)

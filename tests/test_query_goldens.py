@@ -113,6 +113,32 @@ def test_minhash_neardups_golden_exact_jaccard(spark, sf_dir):
                 assert uf.find(a) == uf.find(b), f"missed near-dup pair ({a},{b})"
 
 
+def test_embedding_neardups_golden_numpy_union_find(spark, sf_dir):
+    """Query `embedding_neardups` (also DuckDB-oracled): clusters equal a
+    numpy all-pairs cosine at the same threshold + pure-Python union-find,
+    singletons included as their own component."""
+    docs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = [r.vec_id for r in docs]
+    m = np.array([r.embedding for r in docs], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    uf = UnionFind()
+    for i, a in enumerate(ids):
+        uf.find(a)
+        for j in range(i + 1, len(ids)):
+            if cos[i, j] >= 0.4:
+                uf.union(a, ids[j])
+    comp = {a: uf.find(a) for a in ids}
+    sizes = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    expected = {(a, comp[a], sizes[comp[a]], a != comp[a]) for a in ids}
+
+    rows = entry.queries()["embedding_neardups"](spark, sf_dir).collect()
+    got = {(r.vec_id, r.component, r.cluster_size, r.is_dup) for r in rows}
+    assert got == expected
+
+
 def test_ngram_jaccard_pairs_golden_exact(spark, sf_dir):
     """Query `ngram_jaccard_pairs` (also DuckDB-oracled): every returned
     pair's jaccard EQUALS the pure-Python exact shingle-set Jaccard (to the
