@@ -477,6 +477,36 @@ def test_tiered_compaction_minor_never_rewrites_old_tiers(spark, tmp_path, crawl
     assert run_round(spark, store, pages, robots, 7, c)["scheduled"] >= 0
 
 
+def test_vacuum_reaps_orphan_tier_dirs(spark, tmp_path, crawl_inputs):
+    """A kill between a major fold's pointer publish and its cleanup loop
+    leaves superseded tier dirs unreferenced forever (no later fold's
+    cleanup lists them). vacuum_compacted reaps them; live tiers and the
+    folded state are untouched."""
+    import dataclasses
+    import os
+
+    pages, robots, seeds, cfg = crawl_inputs
+    c = dataclasses.replace(cfg, compact_every=0)
+    c.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    store = crawl_store(str(tmp_path / "orph"), c)
+    run_crawl(spark, store, pages, robots, seeds, rounds=4, cfg=c)
+    assert store.compact(spark, "seen_delta", up_to=4) == 4
+    truth = frozenset(r.url_hash for r in store.read_all(spark, "seen_delta").collect())
+
+    # simulate the crash leftover: an upto= dir the pointer no longer lists
+    orphan = store._base_dir("seen_delta", 2)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"junk")
+    live_dir = store._base_dir("seen_delta", 4)
+
+    store.vacuum_compacted("seen_delta", spark)
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(live_dir)
+    assert [t["upto"] for t in store.tiers("seen_delta")] == [4]
+    assert frozenset(r.url_hash for r in store.read_all(spark, "seen_delta").collect()) == truth
+
+
 def test_rank_prefilter_crawl_equivalence(spark, tmp_path, crawl_inputs):
     """CrawlConfig.rank_prefilter (the sampled top-k pushdown) is a pure
     physical choice: identical schedule and seen-set over a full crawl."""

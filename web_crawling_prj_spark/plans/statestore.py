@@ -425,7 +425,15 @@ class StateStore:
         for per-round history: read_round on a folded round and
         read_all(up_to < base) raise afterwards (read_all at or past the base
         is unaffected — the base carries every folded row). Pass ``spark`` to
-        also drop the folded rounds' catalog entries (bucketed tables)."""
+        also drop the folded rounds' catalog entries (bucketed tables).
+
+        Also reaps ORPHAN tier dirs: a kill between a major fold's pointer
+        publish and its cleanup loop leaves the superseded tier dirs on disk
+        with nothing referencing them (the new pointer no longer lists them,
+        so no later fold's cleanup ever sees them). Safe by the store's
+        single-writer contract — compact and vacuum never run concurrently,
+        so an unreferenced ``upto=`` dir is always a leftover, never a tier
+        mid-write."""
         upto = self.base_upto(table)
         if upto is None:
             return 0
@@ -437,6 +445,24 @@ class StateStore:
                 n += 1
                 if spark is not None and table in self.bucket_spec:
                     spark.sql(f"DROP TABLE IF EXISTS {self._tbl_name(table, r)}")
+        live = {t["upto"] for t in self.tiers(table)}
+        base_root = os.path.join(self.root, f"{table}__base")
+        if os.path.isdir(base_root):
+            for name in os.listdir(base_root):
+                if not name.startswith("upto="):
+                    continue
+                try:
+                    tier_upto = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if tier_upto in live:
+                    continue
+                shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+                n += 1
+                if spark is not None and table in self.bucket_spec:
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {self._base_tbl_name(table, tier_upto)}"
+                    )
         return n
 
     # --- read path (only committed rounds are visible) ---
