@@ -176,6 +176,32 @@ def test_pagerank_priority_round(spark, tmp_path, crawl_inputs):
     assert _final_state(store, spark) == _final_state(store2, spark)
 
 
+def test_pagerank_refresh_cadence_commits_and_reuses_scores(spark, tmp_path, crawl_inputs):
+    """pagerank_every=3: scores are recomputed (and committed as a
+    `pagerank_scores` table) only on refresh rounds — round 2 (first round
+    with lineage) and round 5 — while the rounds between blend the committed
+    scores without touching the fetch_log history. The refresh schedule is a
+    pure function of committed state, so a rerun lands on the same rounds
+    and the crawl stays deterministic."""
+    import dataclasses
+
+    pages, robots, seeds, cfg = crawl_inputs
+    cfg2 = dataclasses.replace(cfg, pagerank_weight=0.4, pagerank_every=3)
+    cfg2.extra["max_doc_id"] = cfg.extra["max_doc_id"]
+    store = crawl_store(str(tmp_path / "prk"), cfg)
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=6, cfg=cfg2)
+    assert all(s["scheduled"] > 0 for s in stats)
+    committed = [r for r in store.committed_rounds() if store.has_table("pagerank_scores", r)]
+    assert committed == [2, 5]
+    scores = store.read_round(spark, "pagerank_scores", 2)
+    assert scores.columns == ["url_hash", "_prn"]
+    assert scores.count() > 0
+    # determinism across reruns (the reuse path is exercised on rounds 3-4/6)
+    store2 = crawl_store(str(tmp_path / "prk2"), cfg)
+    run_crawl(spark, store2, pages, robots, seeds, rounds=6, cfg=cfg2)
+    assert _final_state(store, spark) == _final_state(store2, spark)
+
+
 def test_robots_refresh_blocks_host_next_round(spark, tmp_path, crawl_inputs):
     """C13: the between-rounds robots_source hook — a host whose robots.txt
     turns to Disallow:/ after round 1 is scheduled in round 1 but never again."""

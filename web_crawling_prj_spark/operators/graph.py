@@ -198,15 +198,22 @@ def pagerank(
     return ranks
 
 
-def priority_from_pagerank(frontier: DataFrame, link_log: DataFrame, weight: float = 0.5) -> DataFrame:
-    """Blend crawl priority with normalized pagerank of the discovered graph
-    (edges: src_url_hash → url_hash from discovery lineage)."""
+def normalized_pagerank(link_log: DataFrame) -> DataFrame:
+    """(url_hash, _prn) max-normalized pagerank of the discovered link graph
+    (edges: src_url_hash → url_hash from discovery lineage). Cheap to
+    consume more than once: :func:`pagerank` returns a localCheckpointed
+    plan, so a second action (e.g. committing the scores as a table) never
+    re-runs the iteration."""
     edges = link_log.where(F.col("src_url_hash").isNotNull()).select(
         F.col("src_url_hash").alias("src"), F.col("url_hash").alias("dst")
     )
     pr = pagerank(edges)
     mx = pr.agg(F.max("rank")).first()[0] or 1.0
-    pr_n = pr.select(F.col("node").alias("url_hash"), (F.col("rank") / mx).alias("_prn"))
+    return pr.select(F.col("node").alias("url_hash"), (F.col("rank") / mx).alias("_prn"))
+
+
+def blend_priority(frontier: DataFrame, pr_n: DataFrame, weight: float = 0.5) -> DataFrame:
+    """Blend crawl priority with pre-normalized (url_hash, _prn) scores."""
     return (
         frontier.join(pr_n, "url_hash", "left")
         .withColumn(
@@ -215,3 +222,9 @@ def priority_from_pagerank(frontier: DataFrame, link_log: DataFrame, weight: flo
         )
         .drop("_prn")
     )
+
+
+def priority_from_pagerank(frontier: DataFrame, link_log: DataFrame, weight: float = 0.5) -> DataFrame:
+    """Blend crawl priority with normalized pagerank of the discovered graph
+    — :func:`normalized_pagerank` ∘ :func:`blend_priority`."""
+    return blend_priority(frontier, normalized_pagerank(link_log), weight)

@@ -96,6 +96,21 @@ class CrawlConfig:
     # Deterministic (power iteration over committed lineage), so resume/
     # parallelism invariants hold with it enabled.
     pagerank_weight: float = 0.0
+    # PageRank refresh cadence (delta mode). The score computation is
+    # inherently O(all fetched pages) — the one remaining per-round
+    # O(history) job when the blend is on: _link_lineage re-reads the FULL
+    # committed fetch_log and the power iteration sweeps the whole graph.
+    # With K > 1 the scores are recomputed only every K-th round, committed
+    # as a `pagerank_scores` table, and the rounds in between blend the last
+    # committed scores (standard periodic-refresh engineering: priorities
+    # tolerate K rounds of staleness; the heavy job amortizes to O(graph/K)
+    # per round). Resume-deterministic — the refresh schedule is derived
+    # from committed state, never wall clock. K = 1 (default) recomputes
+    # every round and commits nothing, byte-identical to the old behavior.
+    # Legacy full-rewrite mode ignores the cadence (its every-round frontier
+    # rewrite is already O(backlog), so the blend does not change its
+    # complexity class).
+    pagerank_every: int = 1
     # fold seen_delta round dirs into a bucketed base every K rounds so the
     # per-round seen-set scan lists O(1+K) paths forever (0 = off). Pure
     # file-layout rewrite, never a semantics change; resume-safe (atomic
@@ -552,6 +567,38 @@ def _link_lineage(
     return edges.select("src_url_hash", "url_hash")
 
 
+def _pagerank_priority(
+    spark: SparkSession, store: StateStore, round_id: int, cfg: CrawlConfig, df: DataFrame
+) -> tuple[DataFrame, DataFrame | None]:
+    """Delta-mode PageRank blend with the ``pagerank_every`` refresh cadence.
+
+    Returns (blended df, scores-to-commit or None). A round REUSES the
+    newest committed ``pagerank_scores`` table strictly younger than K
+    rounds (the walk checks at most K manifests, newest-first — never
+    O(rounds)); otherwise it REFRESHES: full-history lineage → pagerank →
+    normalized scores, committed with this round iff K > 1 (K = 1 reuses
+    nothing, so committing would be dead weight). The cadence is a pure
+    function of committed state — kill/resume and reruns land on the same
+    refresh rounds, keeping the crawl's determinism invariants."""
+    from web_crawling_prj_spark.operators.graph import blend_priority, normalized_pagerank
+
+    K = max(1, cfg.pagerank_every)
+    for r in reversed(store.committed_rounds()):
+        if r >= round_id:
+            continue
+        if round_id - r >= K:
+            break
+        if store.has_table("pagerank_scores", r):
+            scores = store.read_round(spark, "pagerank_scores", r)
+            return blend_priority(df, scores, weight=cfg.pagerank_weight), None
+    link_log = _link_lineage(spark, store, round_id, cfg)
+    if link_log is None:
+        return df, None
+    pr_n = normalized_pagerank(link_log)
+    blended = blend_priority(df, pr_n, weight=cfg.pagerank_weight)
+    return blended, (pr_n if K > 1 else None)
+
+
 #: zstd-parquet bytes per frontier row, measured on the bench layout (16M
 #: rows → ~1.0 GB). Only feeds the prefilter auto-enable ESTIMATE — a 2×
 #: error moves the crossover 2×, which the wide wash region tolerates.
@@ -680,12 +727,9 @@ def _run_round(
     # uled backlog rows keep their base priorities (never rewritten — commit
     # volume stays O(churn)); only rows that re-enter via the retry path
     # carry a blended value forward (bounded by the retry budget).
+    pr_scores = None
     if cfg.pagerank_weight > 0 and cfg.frontier_deltas:
-        from web_crawling_prj_spark.operators.graph import priority_from_pagerank
-
-        link_log = _link_lineage(spark, store, round_id, cfg)
-        if link_log is not None:
-            allowed = priority_from_pagerank(allowed, link_log, weight=cfg.pagerank_weight)
+        allowed, pr_scores = _pagerank_priority(spark, store, round_id, cfg, allowed)
     budgets = host_budgets(robots, cfg.round_duration_ms, max_per_host=cfg.max_per_host)
     if half_open_hosts is not None:
         # half-open circuit: budget forced to 1 probe for the host
@@ -883,6 +927,12 @@ def _run_round(
         "host_state": new_host_state,
         "run_report": run_summary(metrics),
     }
+    if pr_scores is not None:
+        # refreshed this round with pagerank_every > 1: commit the normalized
+        # scores so the next K-1 rounds blend them without touching the full
+        # fetch_log history (pagerank() localCheckpoints its result — this
+        # write re-runs nothing)
+        tables["pagerank_scores"] = pr_scores
     if cfg.frontier_deltas:
         # write-time seen filter on the delta-sized winners (this round's
         # seen_delta included): keeps the live view seen-clean so reads never
