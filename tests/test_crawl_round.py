@@ -191,9 +191,15 @@ def test_pagerank_refresh_cadence_commits_and_reuses_scores(spark, tmp_path, cra
     store = crawl_store(str(tmp_path / "prk"), cfg)
     stats = run_crawl(spark, store, pages, robots, seeds, rounds=6, cfg=cfg2)
     assert all(s["scheduled"] > 0 for s in stats)
-    committed = [r for r in store.committed_rounds() if store.has_table("pagerank_scores", r)]
-    assert committed == [2, 5]
-    scores = store.read_round(spark, "pagerank_scores", 2)
+    refreshed = [
+        r for r in store.committed_rounds() if "pagerank_scores" in store.manifest(r)["tables"]
+    ]
+    assert refreshed == [2, 5]
+    # retention: the round-5 refresh reaps the superseded round-2 score dir —
+    # score storage is O(graph), not O(refreshes·graph)
+    retained = [r for r in store.committed_rounds() if store.has_table("pagerank_scores", r)]
+    assert retained == [5]
+    scores = store.read_round(spark, "pagerank_scores", 5)
     assert scores.columns == ["url_hash", "_prn"]
     assert scores.count() > 0
     # determinism across reruns (the reuse path is exercised on rounds 3-4/6)

@@ -959,6 +959,15 @@ def _run_round(
     else:
         tables["frontier"] = next_frontier
     store.commit_round(round_id, tables, extra_meta={"round_ts": round_ts})
+    if pr_scores is not None:
+        # retention: only the newest committed scores are ever read (the
+        # reuse walk in _pagerank_priority looks back < K rounds), so reap
+        # superseded score dirs now — score storage stays O(graph), not
+        # O(rounds·graph) over a long crawl. Kill-safe: a kill before the
+        # reap just leaves dirs for the next refresh round to collect.
+        for r in store.committed_rounds():
+            if r < round_id and store.has_table("pagerank_scores", r):
+                store.drop_round_table("pagerank_scores", r)
     # maintain the cumulative bloom sidecar: delta bloom over this round's
     # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap.
     # Skipped entirely on the bucketed layout — nothing ever probes it there —

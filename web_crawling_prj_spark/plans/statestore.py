@@ -465,6 +465,21 @@ class StateStore:
                     )
         return n
 
+    def drop_round_table(self, table: str, round_id: int, spark: SparkSession | None = None) -> bool:
+        """Delete ONE committed round's table dir (retention for superseded
+        snapshot tables, e.g. pagerank_scores — only the newest is ever
+        read). The manifest is untouched: ``has_table`` turns False (it
+        requires the dir), so readers that probe before reading skip the
+        round cleanly; ``read_round`` on it would raise, same as after
+        ``vacuum_compacted``. Returns True iff a dir was removed."""
+        d = self._table_round_dir(table, round_id)
+        if not os.path.exists(d):
+            return False
+        shutil.rmtree(d)
+        if spark is not None and table in self.bucket_spec:
+            spark.sql(f"DROP TABLE IF EXISTS {self._tbl_name(table, round_id)}")
+        return True
+
     # --- read path (only committed rounds are visible) ---
 
     def has_table(self, table: str, round_id: int) -> bool:
