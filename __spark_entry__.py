@@ -638,6 +638,42 @@ def q_pagerank_hosts(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC encode→pack→parse round-trip (ISO 28500, the format web-scale
+    crawls archive to). documents → one WARC/1.0 resource record per doc
+    (native concat, Content-Length = UTF-8 BYTES), packed 8 records-per-file
+    deterministically, then re-parsed by the length-driven mapInPandas
+    parser. Output proves the cycle is lossless: the oracle recomputes every
+    column — including the parsed Content-Length and payload md5 — straight
+    from the documents table without ever building a WARC."""
+    from web_crawling_prj_spark.sources.warc import (
+        WARC_DATE,
+        parse_warc,
+        warc_files_df,
+        warc_record_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    uri = F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"))
+    rec = d.select(
+        F.col("doc_id"),
+        warc_record_col(uri, F.col("text")).alias("record"),
+    )
+    files = warc_files_df(
+        rec, file_key=(F.col("doc_id") % 8), order_key=F.col("doc_id"), record=F.col("record")
+    )
+    parsed = parse_warc(files)
+    return parsed.select(
+        "warc_file",
+        "rec_seq",
+        "rec_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.md5(F.encode("payload", "UTF-8")).alias("payload_md5"),
+    )
+
+
 def q_frontier_cardinality(spark, sf_dir):
     """Approx-distinct + quantile sketch metrics over the frontier (sketches
     are engine-specific — rows-only)."""
@@ -952,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covers them; both also carry value-asserting goldens/in-window twins)
         "order_value_deciles": q_order_value_deciles,  # oracle twin of percentiles
         "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
+        "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1635,5 +1672,20 @@ scored AS (
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
            FROM scored)
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        # the oracle never builds a WARC: it recomputes what a lossless
+        # encode→pack→parse cycle must return straight from documents —
+        # rec_seq is the in-file order (doc_id asc within doc_id % 8),
+        # content_length the UTF-8 BYTE length, payload_md5 the md5 of the
+        # payload the parser sliced back out
+        "warc_roundtrip": """
+SELECT doc_id % 8 AS warc_file,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ASC) - 1 AS INT) AS rec_seq,
+       'resource' AS rec_type,
+       'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       octet_length(encode(text)) AS content_length,
+       md5(text) AS payload_md5
+FROM documents WHERE text IS NOT NULL
 """,
     }
