@@ -674,6 +674,41 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Common-Crawl ingestion, value-exact: documents → rendered html → WARC
+    ``response`` records (full HTTP envelope, Common Crawl's layout) → parse
+    → :func:`pages_from_warc` → the input-hint pages table. The oracle never
+    renders or archives anything: byte-deterministic extraction means the
+    re-ingested ``text`` IS ``documents.text``, so DuckDB recomputes url /
+    warc_ts / text md5 / re-detected lang straight from the base table. A
+    render or extraction bug anywhere in the cycle breaks the value hash."""
+    from web_crawling_prj_spark.sources.pages_gen import _render_html_udf
+    from web_crawling_prj_spark.sources.warc import (
+        http_response_payload,
+        pages_from_warc,
+        parse_warc,
+        warc_files_df,
+        warc_record_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    uri = F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"))
+    html = _render_html_udf(F.col("text"), F.coalesce("lang", F.lit("und")), uri)
+    rec = d.select(
+        F.col("doc_id"),
+        warc_record_col(
+            uri, http_response_payload(F.decode(html, "UTF-8")), rec_type="response"
+        ).alias("record"),
+    )
+    files = warc_files_df(
+        rec, file_key=(F.col("doc_id") % 8), order_key=F.col("doc_id"), record=F.col("record")
+    )
+    pages = pages_from_warc(parse_warc(files))
+    return pages.select(
+        "url", "warc_ts", F.md5("text").alias("text_md5"), "lang"
+    )
+
+
 def q_frontier_cardinality(spark, sf_dir):
     """Approx-distinct + quantile sketch metrics over the frontier (sketches
     are engine-specific — rows-only)."""
@@ -989,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_deciles": q_order_value_deciles,  # oracle twin of percentiles
         "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
         "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
+        "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1687,5 +1723,30 @@ SELECT doc_id % 8 AS warc_file,
        octet_length(encode(text)) AS content_length,
        md5(text) AS payload_md5
 FROM documents WHERE text IS NOT NULL
+""",
+        # the ingest oracle leans on the byte-determinism contract: the text
+        # that comes back out of render→archive→parse→extract IS the source
+        # text, so url/warc_ts/text_md5/detected-lang all recompute from
+        # `documents` alone (lang CASE = the lang_id oracle's, over that text)
+        "warc_ingest": r"""
+WITH s AS (
+  SELECT doc_id, source, text,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(của|và|là|không|người|trong|được|có|cho|này)\b')) AS s_vi,
+    len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents WHERE text IS NOT NULL),
+b AS (SELECT *, greatest(s_en, s_de, s_vi, s_fr, s_zh) AS best FROM s)
+SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+       md5(text) AS text_md5,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_vi = best THEN 'vi'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS lang
+FROM b
 """,
     }

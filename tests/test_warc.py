@@ -104,6 +104,136 @@ def test_read_warc_dir_parses_real_files(spark, tmp_path):
     assert all(r["target_uri"] == "https://x.example/1" for r in out)
 
 
+def _pages(spark, n=40):
+    from web_crawling_prj_spark.sources.pages_gen import pages_df
+
+    return pages_df(spark, "/root/testdata/sf0.001").limit(n)
+
+
+def test_pages_from_warc_reproduces_input_hint_table_byte_exactly(spark, tmp_path):
+    """Archive a page slice as WARC response records (HTTP envelope), then
+    re-ingest: the pages table comes back in the input-hint shape with
+    byte-identical text, second-truncated warc_ts, and re-detected lang —
+    through exactly ONE Arrow UDF evaluation."""
+    from web_crawling_prj_spark.sources.warc import (
+        http_response_payload,
+        pages_from_warc,
+        write_warc_files,
+    )
+
+    p = _pages(spark)
+    rec = p.select(
+        F.pmod(F.xxhash64("url"), F.lit(3)).alias("warc_file"),
+        F.xxhash64("url").alias("k"),
+        warc_record_col(
+            F.col("url"),
+            http_response_payload(F.decode("html", "UTF-8"), F.lit(200)),
+            rec_type="response",
+            date=F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ).alias("record"),
+    )
+    files = warc_files_df(rec, F.col("warc_file"), F.col("k"), F.col("record"))
+    man = write_warc_files(files, str(tmp_path / "w"))
+    assert len(man) == 3 and all(m["bytes"] > 0 for m in man)
+
+    back = pages_from_warc(read_warc_dir(spark, str(tmp_path / "w")))
+    assert back.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+    )
+    orig = p.select("url", F.col("text").alias("t0"), F.col("warc_ts").alias("ts0"))
+    j = back.join(orig, "url")
+    assert j.count() == 40
+    assert j.where(F.col("text") != F.col("t0")).count() == 0  # byte-identical
+    assert j.where(F.col("warc_ts") != F.date_trunc("second", "ts0")).count() == 0
+    assert back.where(F.col("lang").isNull()).count() == 0
+    # lang/text share ONE extraction — a duplicated UDF subtree would 6× the
+    # Python cost at 100 TB
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_http_envelope_strip_survives_crlfcrlf_in_body(spark, tmp_path):
+    """A body containing CRLFCRLF must not be truncated by the envelope
+    strip (split limit 2) — the delimiter-confusion trap, HTTP edition."""
+    from web_crawling_prj_spark.sources.warc import (
+        http_response_payload,
+        pages_from_warc,
+        write_warc_files,
+    )
+
+    body = "first\r\n\r\nsecond — looks like an envelope boundary"
+    df = spark.createDataFrame([("https://x.example/1", body)], "url string, body string")
+    rec = df.select(
+        F.lit(0).alias("warc_file"),
+        F.lit(0).alias("k"),
+        warc_record_col(
+            F.col("url"), http_response_payload(F.col("body")), rec_type="response"
+        ).alias("record"),
+    )
+    files = warc_files_df(rec, F.col("warc_file"), F.col("k"), F.col("record"))
+    write_warc_files(files, str(tmp_path / "w"))
+    back = pages_from_warc(read_warc_dir(spark, str(tmp_path / "w"))).collect()
+    assert len(back) == 1
+    assert bytes(back[0]["html"]).decode("utf-8") == body
+
+
+def test_crawl_archives_rounds_and_resume_backfills(spark, tmp_path):
+    """run_crawl(warc_dir=...): every committed round exports its ok fetches
+    as WARC response records; record count matches the committed ok count;
+    extraction over the ARCHIVED html is byte-identical to the committed
+    extracted_text (the north-rule invariant survives the archive cycle);
+    and a missing archive (kill between commit and archive) is rebuilt by
+    the resume catch-up sweep."""
+    import shutil
+
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+    from web_crawling_prj_spark.sources.warc import pages_from_warc
+
+    sf = "/root/testdata/sf0.001"
+    pages, seeds, robots = pages_df(spark, sf), seeds_df(spark, sf), robots_df(spark)
+    warc_dir = str(tmp_path / "warc")
+    cfg = CrawlConfig(num_buckets=4, warc_dir=warc_dir)
+    store = crawl_store(str(tmp_path / "store"), cfg)
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=2, cfg=cfg)
+    assert sorted(os.listdir(warc_dir)) == ["round=000001", "round=000002"]
+
+    parsed = read_warc_dir(spark, warc_dir)
+    assert parsed.count() == sum(t["ok"] for t in stats)
+    back = pages_from_warc(parsed).select(
+        F.col("url").alias("url_canon"), F.col("text").alias("t_arc")
+    )
+    committed = (
+        store.read_all(spark, "fetch_log")
+        .where(F.col("error_class") == "ok")
+        .select("url_canon", "extracted_text")
+    )
+    j = committed.join(back, "url_canon")
+    assert j.count() == sum(t["ok"] for t in stats)
+    assert j.where(F.col("t_arc") != F.col("extracted_text")).count() == 0
+
+    # kill-between-commit-and-archive: drop round 1's archive, resume → the
+    # catch-up sweep rebuilds it before new rounds run
+    shutil.rmtree(os.path.join(warc_dir, "round=000001"))
+    run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
+    assert sorted(os.listdir(warc_dir)) == [
+        "round=000001",
+        "round=000002",
+        "round=000003",
+    ]
+    assert os.path.exists(os.path.join(warc_dir, "round=000001", "_SUCCESS"))
+    # the rebuilt archive is identical (pure function of committed state)
+    r1 = read_warc_dir(spark, os.path.join(warc_dir, "round=000001"))
+    ok1 = (
+        store.read_round(spark, "fetch_log", 1).where(F.col("error_class") == "ok").count()
+    )
+    assert r1.count() == ok1
+
+
 def test_parser_is_a_narrow_transform(spark):
     """Files never shuffle on the parse path: the plan between the scan and
     the Arrow eval has no Exchange (file-per-task at a directory scan)."""

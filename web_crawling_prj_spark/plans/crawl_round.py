@@ -160,6 +160,13 @@ class CrawlConfig:
     # sets shuffle and nothing is collected driver-side (the 10^8-key regime
     # where a forced broadcast is an OOM cliff, VERDICT r4 watch-item #3).
     broadcast_churn_max_keys: int = 20_000_000
+    # WARC archive sidecar (sources.warc): when set, every committed round's
+    # successful fetches are exported as WARC/1.0 response records under
+    # warc_dir/round=NNNNNN/ (num_buckets files, bucketed by url_hash — the
+    # object-store layout real crawls ship, Common Crawl analog). Derived
+    # artifact: a pure function of committed state, rebuilt by the resume
+    # catch-up sweep if a kill lands between commit and archive.
+    warc_dir: str | None = None
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -1088,11 +1095,21 @@ def run_crawl(
     if last is None:
         init_crawl(spark, store, seeds, cfg)
         last = 0
+    if cfg.warc_dir:
+        # resume catch-up: rebuild any archive a kill orphaned (derived
+        # artifact — pure function of committed state, always rebuildable)
+        from web_crawling_prj_spark.sources.warc import archive_missing_rounds
+
+        archive_missing_rounds(spark, store, pages, cfg.warc_dir, cfg.num_buckets)
     stats = []
     for r in range(last + 1, rounds + 1):
         if robots_source is not None:
             robots = parse_robots_table(robots_source(spark, r))
         stats.append(run_round(spark, store, pages, robots, r, cfg))
+        if cfg.warc_dir:
+            from web_crawling_prj_spark.sources.warc import archive_round
+
+            archive_round(spark, store, pages, r, cfg.warc_dir, cfg.num_buckets)
         if cfg.compact_every and r % cfg.compact_every == 0:
             store.compact(
                 spark,

@@ -50,24 +50,49 @@ PARSED_SCHEMA = (
 )
 
 
-def warc_record_col(uri: Column, payload: Column, rec_type: str = "resource") -> Column:
+def warc_record_col(
+    uri: Column,
+    payload: Column,
+    rec_type: str = "resource",
+    date: Column | None = None,
+    content_type: str = "text/plain",
+) -> Column:
     """One WARC/1.0 record as a string column — header block, CRLFCRLF,
     payload, CRLFCRLF trailer (ISO 28500 §4: every record ends with two
     CRLFs). ``Content-Length`` is the payload's UTF-8 BYTE length
     (``F.length(F.encode(...))``), and ``WARC-Record-ID`` is a deterministic
-    urn from md5(uri) so the encoding is a pure function of the row."""
+    urn from md5(uri) so the encoding is a pure function of the row.
+    ``date``: optional per-row WARC-Date column (ISO 8601 string); defaults
+    to the fixed :data:`WARC_DATE` literal so encodes stay reproducible."""
     header = F.concat(
         F.lit("WARC/1.0" + CRLF),
         F.lit(f"WARC-Type: {rec_type}" + CRLF),
         F.lit("WARC-Record-ID: <urn:md5:"), F.md5(F.encode(uri, "UTF-8")), F.lit(">" + CRLF),
-        F.lit(f"WARC-Date: {WARC_DATE}" + CRLF),
+        F.lit("WARC-Date: "), F.lit(WARC_DATE) if date is None else date, F.lit(CRLF),
         F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
-        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit(f"Content-Type: {content_type}" + CRLF),
         F.lit("Content-Length: "),
         F.length(F.encode(payload, "UTF-8")).cast("string"),
         F.lit(CRLF),
     )
     return F.concat(header, F.lit(CRLF), payload, F.lit(CRLF + CRLF))
+
+
+def http_response_payload(html: Column, http_code: Column | None = None) -> Column:
+    """Wrap a page body in the minimal HTTP response envelope a WARC
+    ``response`` record archives (Common-Crawl layout: the payload is the
+    full HTTP message, ``Content-Type: application/http;msgtype=response``).
+    The envelope's Content-Length is the BODY's UTF-8 byte length."""
+    code = F.lit(200) if http_code is None else F.coalesce(http_code, F.lit(200))
+    return F.concat(
+        F.lit("HTTP/1.1 "), code.cast("string"),
+        F.when(code == 200, F.lit(" OK")).otherwise(F.lit("")), F.lit(CRLF),
+        F.lit("Content-Type: text/html; charset=utf-8" + CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.encode(html, "UTF-8")).cast("string"), F.lit(CRLF),
+        F.lit(CRLF),
+        html,
+    )
 
 
 def warc_files_df(
@@ -159,6 +184,150 @@ def parse_warc(files: DataFrame, file_col: str = "warc_file", blob_col: str = "b
             )
 
     return files.mapInPandas(gen, schema=PARSED_SCHEMA)
+
+
+def pages_from_warc(parsed: DataFrame) -> DataFrame:
+    """Parsed WARC records → the engine's input-hint pages shape
+    ``(url, warc_ts:timestamp, html:binary, text, lang)`` — Common-Crawl
+    ingestion: a directory of archives becomes the page table a crawl
+    seeds/fetches from.
+
+    - ``response`` records carry the full HTTP message (Common-Crawl
+      layout); the envelope is stripped by splitting on the FIRST CRLFCRLF
+      (split limit 2 — a body containing CRLFCRLF stays intact).
+      ``resource`` records are bare content.
+    - ``text`` is the byte-deterministic extraction (north-rule invariant:
+      re-archiving then re-ingesting reproduces it byte-identically);
+      ``lang`` is re-DETECTED from the extracted text (an archive carries no
+      trusted lang column).
+    - Exactly ONE Arrow UDF evaluation per row: lang/text share the single
+      extracted column (plan-tested — one ArrowEvalPython node).
+    """
+    from web_crawling_prj_spark.functions.text import extract_text_udf, lang_id
+
+    body = F.when(
+        F.col("payload").startswith("HTTP/"),
+        F.element_at(F.split("payload", CRLF + CRLF, 2), 2),
+    ).otherwise(F.col("payload"))
+    ts = F.coalesce(
+        F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+    )
+    return (
+        parsed.where(F.col("rec_type").isin("response", "resource"))
+        .select(
+            F.col("target_uri").alias("url"),
+            ts.alias("warc_ts"),
+            F.encode(body, "UTF-8").alias("html"),
+        )
+        .withColumn("text", extract_text_udf("html"))
+        .withColumn("lang", lang_id("text"))
+    )
+
+
+def write_warc_files(files: DataFrame, out_dir: str) -> list[dict]:
+    """Materialize ``(warc_file, blob)`` rows as ``part-NNNNNN.warc`` files
+    under ``out_dir`` — the file-per-key sink (S10) in its native habitat.
+    Executors write in parallel (tmp + atomic rename per file, so a killed
+    write never leaves a torn archive); the driver collects only the tiny
+    manifest (one row per FILE). ``out_dir`` must be storage every executor
+    reaches — trivially true in local mode, shared/object storage on a
+    cluster (the reference's S3 target, utils/s3.py:66-118)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    is_str = dict(files.dtypes)["blob"] == "string"
+
+    def w(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf["warc_file"], pdf["blob"]):
+                data = blob.encode("utf-8") if is_str else bytes(blob)
+                path = os.path.join(out_dir, f"part-{int(fid):06d}.warc")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+                rows.append((int(fid), path, len(data)))
+            yield pd.DataFrame(rows, columns=["warc_file", "path", "bytes"])
+
+    manifest = files.mapInPandas(w, "warc_file bigint, path string, bytes bigint").collect()
+    return [r.asDict() for r in manifest]
+
+
+#: WARC-Date format written by the archive sink (second resolution, UTC)
+_WARC_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def archive_round(
+    spark: SparkSession,
+    store,
+    pages: DataFrame,
+    round_id: int,
+    out_root: str,
+    num_files: int,
+) -> list[dict]:
+    """Archive one committed round's successful fetches as WARC ``response``
+    records — the sidecar export every real crawl ships to object storage
+    (Common Crawl's layout; the reference's DB insert of fetched rows,
+    data_loader.py, is the small-scale analog).
+
+    Derived-artifact semantics: the archive is a PURE FUNCTION of committed
+    state (fetch_log round + page store), so it can be (re)built at any time
+    — a kill mid-archive just leaves it missing and the next
+    :func:`archive_missing_rounds` pass rebuilds it. ``_SUCCESS`` marker =
+    archived; written by the driver strictly after every file landed.
+
+    Plan shape: the round's ok-keys BROADCAST against the page store (the
+    100 TB side never moves — same shape as the fetch join), records pack
+    into ``num_files`` archives bucketed by url_hash (deterministic
+    membership and in-file order), one executor-side write per file."""
+    import os
+
+    log = store.read_round(spark, "fetch_log", round_id)
+    ok = log.where(F.col("error_class") == "ok").select(
+        "url_hash", "url_canon", "http_code", "fetched_ts"
+    )
+    page_html = pages.select(F.col("url").alias("url_canon"), "html")
+    j = page_html.join(F.broadcast(ok), "url_canon")
+    rec = j.select(
+        F.pmod(F.col("url_hash"), F.lit(num_files)).alias("warc_file"),
+        F.col("url_hash").alias("order_key"),
+        warc_record_col(
+            F.col("url_canon"),
+            http_response_payload(F.decode("html", "UTF-8"), F.col("http_code")),
+            rec_type="response",
+            date=F.date_format("fetched_ts", _WARC_TS_FMT),
+        ).alias("record"),
+    )
+    files = warc_files_df(
+        rec, file_key=F.col("warc_file"), order_key=F.col("order_key"), record=F.col("record")
+    )
+    out_dir = os.path.join(out_root, f"round={round_id:06d}")
+    manifest = write_warc_files(files, out_dir)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest
+
+
+def archive_missing_rounds(
+    spark: SparkSession, store, pages: DataFrame, out_root: str, num_files: int
+) -> list[int]:
+    """(Re)build the WARC archive for every committed round that lacks its
+    ``_SUCCESS`` marker — the resume path's catch-up sweep (a crawl killed
+    between commit and archive resumes with complete archives). Returns the
+    round ids archived."""
+    import os
+
+    done = []
+    for r in store.committed_rounds():
+        if not store.has_table("fetch_log", r):
+            continue  # init round (or store predates fetch logs)
+        if os.path.exists(os.path.join(out_root, f"round={r:06d}", "_SUCCESS")):
+            continue
+        archive_round(spark, store, pages, r, out_root, num_files)
+        done.append(r)
+    return done
 
 
 def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
