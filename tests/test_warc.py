@@ -234,6 +234,59 @@ def test_crawl_archives_rounds_and_resume_backfills(spark, tmp_path):
     assert r1.count() == ok1
 
 
+def test_member_gzip_layout_is_one_member_per_record_and_deterministic(spark, tmp_path):
+    """Common Crawl's .warc.gz contract: each record is an INDEPENDENT gzip
+    member (what makes archives range-splittable at member boundaries),
+    compression is byte-deterministic (mtime=0) under any input
+    partitioning, and the directory reader decompresses transparently."""
+    import zlib
+
+    from web_crawling_prj_spark.sources.warc import warc_gz_files_df, write_warc_files
+
+    rec = _encode(spark, [(i, f"body {i} — ü{i}") for i in range(10)]).repartition(5)
+    files = warc_gz_files_df(rec, F.col("doc_id") % 2, F.col("doc_id"), F.col("record"))
+    man = write_warc_files(files, str(tmp_path / "a"), suffix=".warc.gz")
+    assert sorted(os.path.basename(m["path"]) for m in man) == [
+        "part-000000.warc.gz",
+        "part-000001.warc.gz",
+    ]
+    raw = (tmp_path / "a" / "part-000000.warc.gz").read_bytes()
+    members, off = 0, 0
+    while off < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        body = d.decompress(raw[off:])
+        assert body.startswith(b"WARC/1.0\r\n") and body.endswith(b"\r\n\r\n")
+        members += 1
+        off = len(raw) - len(d.unused_data)
+    assert members == 5  # one member per record, not one stream per file
+
+    # byte-determinism across partitionings
+    files2 = warc_gz_files_df(
+        rec.repartition(3), F.col("doc_id") % 2, F.col("doc_id"), F.col("record")
+    )
+    man2 = write_warc_files(files2, str(tmp_path / "b"), suffix=".warc.gz")
+    for m1, m2 in zip(sorted(man, key=lambda m: m["warc_file"]),
+                      sorted(man2, key=lambda m: m["warc_file"])):
+        assert open(m1["path"], "rb").read() == open(m2["path"], "rb").read()
+
+    # transparent read: same rows as the uncompressed path
+    out = read_warc_dir(spark, str(tmp_path / "a")).collect()
+    assert len(out) == 10
+    assert sorted(r["payload"] for r in out) == sorted(f"body {i} — ü{i}" for i in range(10))
+
+
+def test_torn_gz_archive_raises_not_truncates(spark, tmp_path):
+    from web_crawling_prj_spark.sources.warc import warc_gz_files_df, write_warc_files
+
+    rec = _encode(spark, [(0, "x"), (1, "y")])
+    files = warc_gz_files_df(rec, F.lit(0), F.col("doc_id"), F.col("record"))
+    man = write_warc_files(files, str(tmp_path), suffix=".warc.gz")
+    raw = open(man[0]["path"], "rb").read()
+    open(man[0]["path"], "wb").write(raw[:-7])  # tear the last member
+    with pytest.raises(Exception):  # EOFError/error surfaces through the task
+        read_warc_dir(spark, str(tmp_path)).collect()
+
+
 def test_parser_is_a_narrow_transform(spark):
     """Files never shuffle on the parse path: the plan between the scan and
     the Arrow eval has no Exchange (file-per-task at a directory scan)."""

@@ -165,7 +165,9 @@ def parse_warc(files: DataFrame, file_col: str = "warc_file", blob_col: str = "b
 
     mapInPandas generator: each Arrow batch of file blobs streams out its
     records without materializing all of them at once; files never shuffle
-    (narrow transform), so a directory scan parses file-per-task."""
+    (narrow transform), so a directory scan parses file-per-task.
+    Member-gzipped blobs (``.warc.gz``) are detected by magic bytes and
+    decompressed transparently."""
     is_str = dict(files.dtypes)[blob_col] == "string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -173,6 +175,8 @@ def parse_warc(files: DataFrame, file_col: str = "warc_file", blob_col: str = "b
             rows = []
             for fid, blob in zip(pdf[file_col], pdf[blob_col]):
                 raw = blob.encode("utf-8") if is_str else bytes(blob)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gunzip_members(raw)
                 for rec in _parse_blob(fid, raw):
                     rows.append((fid, *rec))
             yield pd.DataFrame(
@@ -225,7 +229,7 @@ def pages_from_warc(parsed: DataFrame) -> DataFrame:
     )
 
 
-def write_warc_files(files: DataFrame, out_dir: str) -> list[dict]:
+def write_warc_files(files: DataFrame, out_dir: str, suffix: str = ".warc") -> list[dict]:
     """Materialize ``(warc_file, blob)`` rows as ``part-NNNNNN.warc`` files
     under ``out_dir`` — the file-per-key sink (S10) in its native habitat.
     Executors write in parallel (tmp + atomic rename per file, so a killed
@@ -243,7 +247,7 @@ def write_warc_files(files: DataFrame, out_dir: str) -> list[dict]:
             rows = []
             for fid, blob in zip(pdf["warc_file"], pdf["blob"]):
                 data = blob.encode("utf-8") if is_str else bytes(blob)
-                path = os.path.join(out_dir, f"part-{int(fid):06d}.warc")
+                path = os.path.join(out_dir, f"part-{int(fid):06d}{suffix}")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(data)
@@ -253,6 +257,55 @@ def write_warc_files(files: DataFrame, out_dir: str) -> list[dict]:
 
     manifest = files.mapInPandas(w, "warc_file bigint, path string, bytes bigint").collect()
     return [r.asDict() for r in manifest]
+
+
+def warc_gz_files_df(
+    records: DataFrame, file_key: Column, order_key: Column, record: Column
+) -> DataFrame:
+    """Pack records into MEMBER-GZIPPED per-file blobs — Common Crawl's
+    actual on-disk layout (``.warc.gz``): each record compresses as an
+    INDEPENDENT gzip member and members concatenate, which is what makes a
+    100 GB archive range-splittable at member boundaries (a whole-file
+    gzip stream is not). Compression is deterministic (``mtime=0``, no
+    filename), so identical records → byte-identical archives.
+
+    Output ``(warc_file, blob:binary)`` — same contract as
+    :func:`warc_files_df`, binary blob. The records aggregate to a SORTED
+    array (deterministic in-file order under any input partitioning) and
+    compress inside one Arrow batch pass."""
+    import gzip
+
+    packed = records.select(
+        file_key.alias("warc_file"),
+        F.struct(order_key.alias("k"), record.alias("r")).alias("kr"),
+    )
+    grouped = packed.groupBy("warc_file").agg(
+        F.transform(F.array_sort(F.collect_list("kr")), lambda s: s["r"]).alias("recs")
+    )
+
+    def gz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    fid,
+                    b"".join(
+                        gzip.compress(r.encode("utf-8"), mtime=0) for r in recs
+                    ),
+                )
+                for fid, recs in zip(pdf["warc_file"], pdf["recs"])
+            ]
+            yield pd.DataFrame(rows, columns=["warc_file", "blob"])
+
+    return grouped.mapInPandas(gz, schema="warc_file bigint, blob binary")
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress a concatenated-member gzip stream (``.warc.gz``).
+    Python's gzip handles multi-member streams natively; a trailing
+    garbage byte (torn write) raises rather than truncating silently."""
+    import gzip
+
+    return gzip.decompress(raw)
 
 
 #: WARC-Date format written by the archive sink (second resolution, UTC)
@@ -266,6 +319,7 @@ def archive_round(
     round_id: int,
     out_root: str,
     num_files: int,
+    compress: bool = True,
 ) -> list[dict]:
     """Archive one committed round's successful fetches as WARC ``response``
     records — the sidecar export every real crawl ships to object storage
@@ -281,7 +335,9 @@ def archive_round(
     Plan shape: the round's ok-keys BROADCAST against the page store (the
     100 TB side never moves — same shape as the fetch join), records pack
     into ``num_files`` archives bucketed by url_hash (deterministic
-    membership and in-file order), one executor-side write per file."""
+    membership and in-file order), one executor-side write per file.
+    ``compress=True`` (default) writes Common Crawl's member-gzipped
+    ``.warc.gz`` layout (:func:`warc_gz_files_df`)."""
     import os
 
     log = store.read_round(spark, "fetch_log", round_id)
@@ -300,11 +356,12 @@ def archive_round(
             date=F.date_format("fetched_ts", _WARC_TS_FMT),
         ).alias("record"),
     )
-    files = warc_files_df(
+    pack = warc_gz_files_df if compress else warc_files_df
+    files = pack(
         rec, file_key=F.col("warc_file"), order_key=F.col("order_key"), record=F.col("record")
     )
     out_dir = os.path.join(out_root, f"round={round_id:06d}")
-    manifest = write_warc_files(files, out_dir)
+    manifest = write_warc_files(files, out_dir, suffix=".warc.gz" if compress else ".warc")
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("")
     return manifest
@@ -331,13 +388,15 @@ def archive_missing_rounds(
 
 
 def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Parse every ``*.warc`` under ``path`` (Spark ``binaryFile`` source —
-    one row per file, parallel file-per-task). ``warc_file`` carries a
-    dense per-path id (xxhash64 of the path) since real archives are named,
-    not numbered."""
+    """Parse every ``*.warc`` / ``*.warc.gz`` under ``path`` (Spark
+    ``binaryFile`` source — one row per file, parallel file-per-task;
+    member-gzip decompressed transparently by :func:`parse_warc`).
+    ``warc_file`` carries a dense per-path id (xxhash64 of the path) since
+    real archives are named, not numbered. ``.tmp`` leftovers from a killed
+    writer never match the glob."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(path)
         .select(F.xxhash64("path").alias("warc_file"), F.col("content").alias("blob"))
     )
