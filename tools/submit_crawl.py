@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--max-per-host", type=int, default=40)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--warc-dir",
+        default=None,
+        help="export each round's ok fetches as member-gzipped WARC archives here",
+    )
     args = ap.parse_args()
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
@@ -49,6 +54,7 @@ def main() -> None:
         max_per_host=args.max_per_host,
         default_budget=args.max_per_host,
         use_bloom=not args.no_bloom,
+        warc_dir=args.warc_dir,
     )
     cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
 
