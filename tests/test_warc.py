@@ -275,6 +275,45 @@ def test_member_gzip_layout_is_one_member_per_record_and_deterministic(spark, tm
     assert sorted(r["payload"] for r in out) == sorted(f"body {i} — ü{i}" for i in range(10))
 
 
+def test_cdx_index_gives_random_access_to_every_record(spark, tmp_path):
+    """The archive's CDX sidecar (Common Crawl index contract): every
+    (uri, offset, length) row fetches exactly its record via a ranged read
+    + single-member gunzip — no file scan — and the fetched payload matches
+    the full-parse result byte-for-byte."""
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+    from web_crawling_prj_spark.sources.warc import fetch_warc_record
+
+    sf = "/root/testdata/sf0.001"
+    pages, seeds, robots = pages_df(spark, sf), seeds_df(spark, sf), robots_df(spark)
+    warc_dir = str(tmp_path / "warc")
+    cfg = CrawlConfig(num_buckets=4, warc_dir=warc_dir)
+    store = crawl_store(str(tmp_path / "store"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
+
+    cdx = spark.read.parquet(os.path.join(warc_dir, "round=000001", "_cdx")).collect()
+    full = {
+        r["target_uri"]: r["payload"]
+        for r in read_warc_dir(spark, os.path.join(warc_dir, "round=000001")).collect()
+    }
+    assert len(cdx) == len(full) > 0
+    for row in cdx:
+        rec = fetch_warc_record(row["path"], row["offset"], row["length"])
+        seq, rec_type, uri, date, clen, payload = rec
+        assert uri == row["uri"]
+        assert payload == full[uri]
+    # offsets tile the file exactly: sum of lengths per path == file size
+    by_path: dict[str, int] = {}
+    for row in cdx:
+        by_path[row["path"]] = by_path.get(row["path"], 0) + row["length"]
+    for path, total in by_path.items():
+        assert os.path.getsize(path) == total
+
+
 def test_torn_gz_archive_raises_not_truncates(spark, tmp_path):
     from web_crawling_prj_spark.sources.warc import warc_gz_files_df, write_warc_files
 

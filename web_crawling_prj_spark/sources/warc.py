@@ -260,7 +260,11 @@ def write_warc_files(files: DataFrame, out_dir: str, suffix: str = ".warc") -> l
 
 
 def warc_gz_files_df(
-    records: DataFrame, file_key: Column, order_key: Column, record: Column
+    records: DataFrame,
+    file_key: Column,
+    order_key: Column,
+    record: Column,
+    uri: Column | None = None,
 ) -> DataFrame:
     """Pack records into MEMBER-GZIPPED per-file blobs — Common Crawl's
     actual on-disk layout (``.warc.gz``): each record compresses as an
@@ -272,31 +276,66 @@ def warc_gz_files_df(
     Output ``(warc_file, blob:binary)`` — same contract as
     :func:`warc_files_df`, binary blob. The records aggregate to a SORTED
     array (deterministic in-file order under any input partitioning) and
-    compress inside one Arrow batch pass."""
+    compress inside one Arrow batch pass.
+
+    Pass ``uri`` to additionally get a CDX-style member index column:
+    ``cdx: array<struct<uri, offset, length>>`` with each record's BYTE
+    offset and compressed length inside the blob — the Common-Crawl index
+    contract that turns an archive into a random-access store (fetch one
+    record = ranged read of ``length`` bytes at ``offset`` + one member
+    gunzip, no file scan; see :func:`fetch_warc_record`)."""
     import gzip
 
+    fields = [order_key.alias("k"), record.alias("r")]
+    if uri is not None:
+        fields.append(uri.alias("u"))
     packed = records.select(
-        file_key.alias("warc_file"),
-        F.struct(order_key.alias("k"), record.alias("r")).alias("kr"),
+        file_key.alias("warc_file"), F.struct(*fields).alias("kr")
     )
     grouped = packed.groupBy("warc_file").agg(
-        F.transform(F.array_sort(F.collect_list("kr")), lambda s: s["r"]).alias("recs")
+        F.array_sort(F.collect_list("kr")).alias("krs")
+    )
+    with_cdx = uri is not None
+    schema = "warc_file bigint, blob binary" + (
+        ", cdx array<struct<uri:string, offset:bigint, length:bigint>>" if with_cdx else ""
     )
 
     def gz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (
-                    fid,
-                    b"".join(
-                        gzip.compress(r.encode("utf-8"), mtime=0) for r in recs
-                    ),
+            rows = []
+            for fid, krs in zip(pdf["warc_file"], pdf["krs"]):
+                members, cdx, off = [], [], 0
+                for kr in krs:
+                    m = gzip.compress(kr["r"].encode("utf-8"), mtime=0)
+                    members.append(m)
+                    if with_cdx:
+                        cdx.append((kr["u"], off, len(m)))
+                    off += len(m)
+                rows.append(
+                    (fid, b"".join(members), cdx) if with_cdx else (fid, b"".join(members))
                 )
-                for fid, recs in zip(pdf["warc_file"], pdf["recs"])
-            ]
-            yield pd.DataFrame(rows, columns=["warc_file", "blob"])
+            cols = ["warc_file", "blob"] + (["cdx"] if with_cdx else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return grouped.mapInPandas(gz, schema="warc_file bigint, blob binary")
+    return grouped.mapInPandas(gz, schema=schema)
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> tuple:
+    """Random-access fetch of ONE record from a member-gzipped archive via
+    its CDX row: ranged read of ``length`` bytes at ``offset``, one member
+    gunzip, one record parse — never a file scan. This is the access
+    pattern a 100 TB archive store serves lookups with (object-store GET
+    with a Range header); the local ``seek`` here is its file:// analog.
+    Returns the parsed record tuple (rec_seq-relative fields; seq is 0 —
+    one member is one record by construction)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    raw = _gunzip_members(member)
+    recs = list(_parse_blob(path, raw))
+    if len(recs) != 1:
+        raise ValueError(f"{path}@{offset}+{length}: expected 1 record, got {len(recs)}")
+    return recs[0]
 
 
 def _gunzip_members(raw: bytes) -> bytes:
@@ -337,7 +376,9 @@ def archive_round(
     into ``num_files`` archives bucketed by url_hash (deterministic
     membership and in-file order), one executor-side write per file.
     ``compress=True`` (default) writes Common Crawl's member-gzipped
-    ``.warc.gz`` layout (:func:`warc_gz_files_df`)."""
+    ``.warc.gz`` layout (:func:`warc_gz_files_df`) plus a CDX member index
+    (``_cdx/`` parquet: path, uri, offset, length) — the random-access
+    contract :func:`fetch_warc_record` serves lookups with."""
     import os
 
     log = store.read_round(spark, "fetch_log", round_id)
@@ -349,6 +390,7 @@ def archive_round(
     rec = j.select(
         F.pmod(F.col("url_hash"), F.lit(num_files)).alias("warc_file"),
         F.col("url_hash").alias("order_key"),
+        F.col("url_canon"),
         warc_record_col(
             F.col("url_canon"),
             http_response_payload(F.decode("html", "UTF-8"), F.col("http_code")),
@@ -356,12 +398,43 @@ def archive_round(
             date=F.date_format("fetched_ts", _WARC_TS_FMT),
         ).alias("record"),
     )
-    pack = warc_gz_files_df if compress else warc_files_df
-    files = pack(
-        rec, file_key=F.col("warc_file"), order_key=F.col("order_key"), record=F.col("record")
-    )
     out_dir = os.path.join(out_root, f"round={round_id:06d}")
-    manifest = write_warc_files(files, out_dir, suffix=".warc.gz" if compress else ".warc")
+    if compress:
+        # member-gzip + CDX: one pack pass produces both the blobs and the
+        # per-record (uri, offset, length) index; persisted so the blob
+        # write and the index write don't each re-run the compression
+        files = warc_gz_files_df(
+            rec,
+            file_key=F.col("warc_file"),
+            order_key=F.col("order_key"),
+            record=F.col("record"),
+            uri=F.col("url_canon"),
+        ).persist()
+        try:
+            manifest = write_warc_files(
+                files.select("warc_file", "blob"), out_dir, suffix=".warc.gz"
+            )
+            cdx = files.select("warc_file", F.explode("cdx").alias("c")).select(
+                F.concat(
+                    F.lit(out_dir + "/part-"),
+                    F.format_string("%06d", "warc_file"),
+                    F.lit(".warc.gz"),
+                ).alias("path"),
+                F.col("c.uri").alias("uri"),
+                F.col("c.offset").alias("offset"),
+                F.col("c.length").alias("length"),
+            )
+            cdx.write.mode("overwrite").parquet(os.path.join(out_dir, "_cdx"))
+        finally:
+            files.unpersist()
+    else:
+        files = warc_files_df(
+            rec,
+            file_key=F.col("warc_file"),
+            order_key=F.col("order_key"),
+            record=F.col("record"),
+        )
+        manifest = write_warc_files(files, out_dir, suffix=".warc")
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("")
     return manifest
