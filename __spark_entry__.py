@@ -676,7 +676,8 @@ def q_warc_roundtrip(spark, sf_dir):
 
 def q_warc_ingest(spark, sf_dir):
     """Common-Crawl ingestion, value-exact: documents → rendered html → WARC
-    ``response`` records (full HTTP envelope, Common Crawl's layout) → parse
+    ``response`` records (full HTTP envelope) → member-gzipped ``.warc.gz``
+    packing (Common Crawl's on-disk layout) → transparent decompress+parse
     → :func:`pages_from_warc` → the input-hint pages table. The oracle never
     renders or archives anything: byte-deterministic extraction means the
     re-ingested ``text`` IS ``documents.text``, so DuckDB recomputes url /
@@ -687,7 +688,7 @@ def q_warc_ingest(spark, sf_dir):
         http_response_payload,
         pages_from_warc,
         parse_warc,
-        warc_files_df,
+        warc_gz_files_df,
         warc_record_col,
     )
 
@@ -700,7 +701,9 @@ def q_warc_ingest(spark, sf_dir):
             uri, http_response_payload(F.decode(html, "UTF-8")), rec_type="response"
         ).alias("record"),
     )
-    files = warc_files_df(
+    # member-gzipped packing — the oracle-checked cycle runs Common Crawl's
+    # REAL on-disk layout (.warc.gz members), decompressed transparently
+    files = warc_gz_files_df(
         rec, file_key=(F.col("doc_id") % 8), order_key=F.col("doc_id"), record=F.col("record")
     )
     pages = pages_from_warc(parse_warc(files))
