@@ -18,12 +18,14 @@ that sink/source pair:
 - **read**: :func:`read_warc_dir` scans ``*.warc`` files via Spark's
   ``binaryFile`` source and parses them.
 
-Scale notes. A WARC *file* is the unit of parallelism here (binaryFile gives
-one row per file, whole-file in memory) — right for the 100 MB–1 GB file
-sizes crawls actually emit, wrong for one 100 GB file. Common Crawl's
-member-gzipped layout (each record an independent gzip member) is what makes
-sub-file splitting possible; that needs a custom splittable input format,
-out of scope here and documented as such.
+Scale notes. A WARC *file* is the unit of scan parallelism here (binaryFile
+gives one row per file, whole-file in memory) — right for the 100 MB–1 GB
+file sizes crawls actually emit, wrong for one 100 GB file. The writer emits
+Common Crawl's member-gzipped ``.warc.gz`` layout (:func:`warc_gz_files_df`:
+each record an independent gzip member) plus a CDX member index, so RECORD
+lookups are ranged reads (:func:`fetch_warc_record`) — sub-file-parallel
+SCANNING inside one Spark task set would additionally need a custom
+splittable input format, still out of scope and documented as such.
 
 Byte discipline: ``Content-Length`` counts PAYLOAD BYTES (UTF-8), not
 characters — the encoder uses ``octet_length`` semantics via ``F.encode``
@@ -216,6 +218,9 @@ def pages_from_warc(parsed: DataFrame) -> DataFrame:
     ts = F.coalesce(
         F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
         F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+        # foreign archives with explicit offsets / other ISO variants:
+        # Spark's default lenient parse, NULL (not an error) when unparseable
+        F.try_to_timestamp(F.col("warc_date")),
     )
     return (
         parsed.where(F.col("rec_type").isin("response", "resource"))
@@ -399,6 +404,14 @@ def archive_round(
         ).alias("record"),
     )
     out_dir = os.path.join(out_root, f"round={round_id:06d}")
+    # rebuild-from-scratch: a killed or re-configured earlier attempt may
+    # have left part files under a different num_files/compress layout; a
+    # stale part would otherwise survive the rebuild and be read alongside
+    # the new files. Derived artifact → wiping the dir is always safe.
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     if compress:
         # member-gzip + CDX: one pack pass produces both the blobs and the
         # per-record (uri, offset, length) index; persisted so the blob
@@ -441,7 +454,12 @@ def archive_round(
 
 
 def archive_missing_rounds(
-    spark: SparkSession, store, pages: DataFrame, out_root: str, num_files: int
+    spark: SparkSession,
+    store,
+    pages: DataFrame,
+    out_root: str,
+    num_files: int,
+    compress: bool = True,
 ) -> list[int]:
     """(Re)build the WARC archive for every committed round that lacks its
     ``_SUCCESS`` marker — the resume path's catch-up sweep (a crawl killed
@@ -455,7 +473,7 @@ def archive_missing_rounds(
             continue  # init round (or store predates fetch logs)
         if os.path.exists(os.path.join(out_root, f"round={r:06d}", "_SUCCESS")):
             continue
-        archive_round(spark, store, pages, r, out_root, num_files)
+        archive_round(spark, store, pages, r, out_root, num_files, compress=compress)
         done.append(r)
     return done
 
