@@ -13,7 +13,10 @@ in (from parsers, sitemaps, uploads) between rounds. Design:
 - ``host_rate_stats``: sliding-window per-host discovery counts with late-data
   watermark — feeds the politeness budgets of the next round;
 - ``sink_to_frontier``: foreachBatch bridge appending micro-batches into the
-  round store layout (exactly-once per micro-batch via checkpointLocation).
+  round store layout (exactly-once per micro-batch via checkpointLocation);
+- ``stream_warc_records``: incremental Common-Crawl ingestion — readStream
+  over a growing WARC archive directory, each new file parsed exactly once
+  (file-source processed-log), stateless, file-per-task parallel.
 
 All stateful steps declare explicit watermarks so state is bounded at
 web-scale input rates.
@@ -24,8 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -109,6 +114,42 @@ def host_sessions(discoveries: DataFrame, gap: str = "5 minutes") -> DataFrame:
             "max_priority",
         )
     )
+
+
+#: binaryFile's fixed schema — streaming sources require it declared up front
+_BINARY_FILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def stream_warc_records(spark: SparkSession, archive_dir: str) -> DataFrame:
+    """Incremental Common-Crawl ingestion: ``readStream`` over a GROWING
+    archive directory — each new ``.warc`` / ``.warc.gz`` file a crawl
+    exports is discovered by the file source, parsed once, and never
+    re-read (the source's processed-files log is the state; no watermark
+    needed — the parse is stateless). One row per WARC record, same schema
+    as the batch :func:`~web_crawling_prj_spark.sources.warc.parse_warc`.
+
+    Compose downstream exactly like the batch path: ``pages_from_warc``
+    (stateless projections — streaming-safe) keeps a pages table
+    continuously current; ``sink_to_frontier`` lands it for the next crawl
+    round. File-per-task parallelism is preserved — a micro-batch of N new
+    archives parses N-wide with zero shuffle."""
+    from web_crawling_prj_spark.sources.warc import parse_warc
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
+        .load(archive_dir)
+        .select(F.xxhash64("path").alias("warc_file"), F.col("content").alias("blob"))
+    )
+    return parse_warc(raw)
 
 
 def sink_to_frontier(discoveries: DataFrame, out_dir: str, checkpoint_dir: str):
