@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 from web_crawling_prj_spark.operators.politeness import batch_ids, host_budgets, schedule_round
 from web_crawling_prj_spark.operators.robots import (
     gate_frontier,
+    gate_frontier_flagged,
+    parse_robots_table,
     parse_robots_txt,
     parse_robots_udf,
     robots_allows,
@@ -95,10 +97,89 @@ Disallow: /private
 Disallow: /tmp
 Crawl-delay: 2.5
 """
-    dis, delay = parse_robots_txt(txt)
-    assert dis == ["/private", "/tmp"] and delay == 2500
-    assert parse_robots_txt(None) == ([], None)
-    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], None)
+    dis, rules, delay = parse_robots_txt(txt)
+    assert dis == ["/private", "/tmp"] and rules == [] and delay == 2500
+    assert parse_robots_txt(None) == ([], [], None)
+    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], [], None)
+
+
+def test_parse_robots_rfc9309_groups_and_agent_selection():
+    txt = """User-agent: alpha
+User-agent: *
+Disallow: /shared
+User-agent: beta
+Disallow: /beta-only
+Crawl-delay: 1
+
+User-agent: *
+Disallow: /second-star
+"""
+    # consecutive UA lines share one group; BOTH * groups combine (RFC §2.2.1)
+    dis, rules, delay = parse_robots_txt(txt)
+    assert dis == ["/shared", "/second-star"] and rules == []
+    assert delay is None  # the beta group's delay belongs to beta only
+    # exact product-token match beats *; its group alone applies
+    dis_b, _, delay_b = parse_robots_txt(txt, agent="Beta")
+    assert dis_b == ["/beta-only"] and delay_b == 1000
+    # alpha matches via the shared UA line of group 1 (not the * fallback)
+    dis_a, _, _ = parse_robots_txt(txt, agent="alpha")
+    assert dis_a == ["/shared"]
+
+
+def test_parse_robots_rfc9309_allow_wildcards_compile():
+    dis, rules, _ = parse_robots_txt(
+        "User-agent: *\nAllow: /p/ok\nDisallow: /p\nDisallow: /q*.pdf$\n"
+    )
+    assert dis == []  # any Allow/wildcard → the RFC rule tier
+    by_rx = {rx: (plen, allow) for rx, plen, allow in rules}
+    assert by_rx["^/p/ok"] == (5, True)
+    assert by_rx["^/p"] == (2, False)
+    assert by_rx["^/q.*\\.pdf$"] == (8, False)  # $ anchors, * wildcards, . escaped
+
+
+def test_gate_rfc9309_longest_match_allow_wins(spark):
+    txt = (
+        "User-agent: *\n"
+        "Allow: /private/public\n"
+        "Disallow: /private\n"
+        "Disallow: /*.zip$\n"
+        "Allow: /dl/*.zip$\n"
+    )
+    raw = spark.createDataFrame([("a.example", txt)], "host string, robots_txt string")
+    robots = parse_robots_table(raw)
+    frontier = spark.createDataFrame(
+        [
+            ("a.example", "https://a.example/private/x"),        # blocked: /private
+            ("a.example", "https://a.example/private/public/y"),  # allowed: longer Allow
+            ("a.example", "https://a.example/files/big.zip"),     # blocked: /*.zip$
+            ("a.example", "https://a.example/dl/big.zip"),        # allowed: longer Allow
+            ("a.example", "https://a.example/files/big.zipper"),  # allowed: $ anchor misses
+            ("a.example", "https://a.example/open"),              # allowed: no match
+        ],
+        "host string, url_canon string",
+    )
+    kept = {r.url_canon for r in gate_frontier(frontier, robots).collect()}
+    assert kept == {
+        "https://a.example/private/public/y",
+        "https://a.example/dl/big.zip",
+        "https://a.example/files/big.zipper",
+        "https://a.example/open",
+    }
+    # the flagged variant agrees row-for-row
+    flags = {
+        r.url_canon: r.robots_allowed
+        for r in gate_frontier_flagged(frontier, robots).collect()
+    }
+    assert {u for u, ok in flags.items() if ok} == kept
+    # tie on length → Allow wins (RFC 9309 §2.2.2)
+    tie = spark.createDataFrame(
+        [("t.example", "User-agent: *\nAllow: /abc\nDisallow: /abc\n")],
+        "host string, robots_txt string",
+    )
+    f2 = spark.createDataFrame(
+        [("t.example", "https://t.example/abc/d")], "host string, url_canon string"
+    )
+    assert gate_frontier(f2, parse_robots_table(tie)).count() == 1
 
 
 def test_parse_robots_udf_and_gate(spark):
