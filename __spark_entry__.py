@@ -151,6 +151,30 @@ def q_robots_gate(spark, sf_dir):
     return f.where(~blocked).select("url", "host")
 
 
+def q_robots_rfc_gate(spark, sf_dir):
+    """RFC 9309 gate tier, value-exact through the REAL parse+gate path:
+    hosts ≡ 0 (mod 3) publish Allow/Disallow rules with wildcards and end
+    anchors (``Allow: /doc/1*3$``, ``Disallow: /doc/1``, ``Disallow:
+    /doc/*5$``); the engine parses the raw text (Arrow UDF), compiles
+    per-host regexes, and evaluates longest-match-wins / allow-beats-
+    disallow natively. The oracle re-implements the precedence from scratch
+    in SQL (distinct pattern lengths 9 > 8 > 6 order the CASE)."""
+    from web_crawling_prj_spark.operators.robots import (
+        gate_frontier_flagged,
+        parse_robots_table,
+    )
+
+    f = _frontier(spark, sf_dir).withColumn("url_canon", F.col("url"))
+    host_num = F.substring("host", 6, 4).cast("int")
+    txt = F.when(
+        host_num % 3 == 0,
+        F.lit("User-agent: *\nAllow: /doc/1*3$\nDisallow: /doc/1\nDisallow: /doc/*5$\n"),
+    )
+    raw = f.select("host").distinct().select("host", txt.alias("robots_txt"))
+    out = gate_frontier_flagged(f, parse_robots_table(raw))
+    return out.select("url", "host", "robots_allowed")
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
         "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
         "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
+        "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1726,6 +1751,26 @@ SELECT doc_id % 8 AS warc_file,
        octet_length(encode(text)) AS content_length,
        md5(text) AS payload_md5
 FROM documents WHERE text IS NOT NULL
+""",
+        # RFC 9309 precedence re-implemented from scratch: the three patterns
+        # have distinct octet lengths (Allow /doc/1*3$ = 9, Disallow /doc/*5$
+        # = 8, Disallow /doc/1 = 6), so longest-match-wins is the CASE order
+        "robots_rfc_gate": f"""
+WITH {_FRONTIER_SQL},
+g AS (
+  SELECT url, host,
+         CAST(substr(host, 6, 4) AS INT) % 3 = 0 AS has_rules,
+         regexp_matches('/doc/' || CAST(doc_id AS VARCHAR), '^/doc/1.*3$') AS m_allow,
+         regexp_matches('/doc/' || CAST(doc_id AS VARCHAR), '^/doc/.*5$') AS m_d5,
+         ('/doc/' || CAST(doc_id AS VARCHAR)) LIKE '/doc/1%' AS m_d1
+  FROM frontier)
+SELECT url, host,
+       CASE WHEN NOT has_rules THEN TRUE
+            WHEN m_allow THEN TRUE
+            WHEN m_d5 THEN FALSE
+            WHEN m_d1 THEN FALSE
+            ELSE TRUE END AS robots_allowed
+FROM g
 """,
         # the ingest oracle leans on the byte-determinism contract: the text
         # that comes back out of render→archive→parse→extract IS the source
