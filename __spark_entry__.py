@@ -175,6 +175,29 @@ def q_robots_rfc_gate(spark, sf_dir):
     return out.select("url", "host", "robots_allowed")
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap seed source, value-exact through the FULL native render+parse
+    cycle: documents → per-source ``<urlset>`` XML (entity-escaped locs —
+    the ``&`` in every url must round-trip, optional lastmod/priority per
+    entry) → per-entry split+regex parse → seed rows. The oracle recomputes
+    every output column straight from ``documents``; a misaligned optional
+    field or a broken escape breaks the value hash."""
+    from web_crawling_prj_spark.sources.sitemaps import sitemap_entries, urlset_xml
+
+    d = _t(spark, sf_dir, "documents")
+    loc = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"),
+        F.lit("?id="), F.col("doc_id"), F.lit("&ref=sitemap"),
+    )
+    lastmod = F.date_add(F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 30).cast("int"))
+    prio = F.when(F.col("doc_id") % 7 != 0, (F.col("doc_id") % 10) / 10.0)
+    sm = urlset_xml(
+        d, host=F.col("source"), loc=loc, order_key=F.col("doc_id"),
+        lastmod=lastmod, priority=prio,
+    )
+    return sitemap_entries(sm).select("host", F.col("loc").alias("url"), "lastmod", "priority")
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1053,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
         "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
         "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
+        "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1771,6 +1795,14 @@ SELECT url, host,
             WHEN m_d1 THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM g
+""",
+        "sitemap_ingest": """
+SELECT source AS host,
+       'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+         || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=sitemap' AS url,
+       DATE '2026-01-01' + CAST(doc_id % 30 AS INT) AS lastmod,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE (doc_id % 10) / 10.0 END AS priority
+FROM documents
 """,
         # the ingest oracle leans on the byte-determinism contract: the text
         # that comes back out of render→archive→parse→extract IS the source
