@@ -198,6 +198,31 @@ def q_sitemap_ingest(spark, sf_dir):
     return sitemap_entries(sm).select("host", F.col("loc").alias("url"), "lastmod", "priority")
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl intervals (Cho & Garcia-Molina freshness policy):
+    events replayed as a fetch history (user_id = page key, floor(value)%3 =
+    content fingerprint). Interval doubles per consecutive unchanged fetch
+    (cap 2^6), resets on change — one window shuffle, value-exact oracle."""
+    from web_crawling_prj_spark.operators.recrawl import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        "event_id",
+        F.col("user_id").alias("page_id"),
+        "ts",
+        (F.floor("value").cast("int") % 3).alias("content_fp"),
+    )
+    out = recrawl_schedule(
+        hist, key="page_id", ts="ts", fingerprint="content_fp",
+        tiebreak="event_id", base_interval_h=1.0, max_doublings=6,
+    )
+    return out.select(
+        "event_id", "page_id", "changed",
+        F.col("unchanged_streak").cast("int").alias("unchanged_streak"),
+        "interval_h", "next_fetch_ts",
+    )
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1077,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
         "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
         "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
+        "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1795,6 +1821,31 @@ SELECT url, host,
             WHEN m_d1 THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM g
+""",
+        "recrawl_schedule": """
+WITH h AS (
+  SELECT event_id, user_id AS page_id, ts,
+         CAST(floor(value) AS INT) % 3 AS content_fp
+  FROM events),
+w AS (
+  SELECT *,
+    lag(content_fp) OVER pw AS prev_fp,
+    row_number() OVER pw AS rn
+  FROM h
+  WINDOW pw AS (PARTITION BY page_id ORDER BY ts, event_id)),
+c AS (
+  SELECT *, (prev_fp IS NULL OR content_fp <> prev_fp) AS changed FROM w),
+s AS (
+  SELECT *,
+    rn - max(CASE WHEN changed THEN rn END)
+           OVER (PARTITION BY page_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS unchanged_streak
+  FROM c)
+SELECT event_id, page_id, changed,
+       CAST(unchanged_streak AS INT) AS unchanged_streak,
+       1.0 * power(2.0, least(unchanged_streak, 6)) AS interval_h,
+       ts + to_seconds(CAST(1.0 * power(2.0, least(unchanged_streak, 6)) * 3600 AS BIGINT)) AS next_fetch_ts
+FROM s
 """,
         "sitemap_ingest": """
 SELECT source AS host,
