@@ -1048,6 +1048,53 @@ def failed_mode_frontier(spark: SparkSession, store: StateStore) -> DataFrame | 
     ).select(*FRONTIER_COLS)
 
 
+def refresh_mode_frontier(
+    spark: SparkSession,
+    store: StateStore,
+    now_ts: str,
+    base_interval_h: float = 1.0,
+    max_doublings: int = 6,
+) -> DataFrame | None:
+    """Freshness mode (beyond the reference's all/failed pair, C14): rebuild
+    a frontier of SEEN pages whose adaptive recrawl deadline has passed —
+    interval doubles per consecutive fetch with unchanged extracted content,
+    resets on change (operators.recrawl). Content identity is
+    ``md5(extracted_text)``, so a byte-identical re-render does not count as
+    a change. Attempt counters reset (this is a fresh fetch, not a retry);
+    priority carries over; ``next_eligible_ts`` = the page's own deadline, so
+    the round's backoff gate and the recrawl deadline are one mechanism."""
+    from web_crawling_prj_spark.operators.recrawl import due_for_refetch, recrawl_schedule
+
+    log = store.read_all(spark, "fetch_log")
+    if log is None:
+        return None
+    hist = log.where(F.col("error_class") == "ok").withColumn(
+        "_fp", F.md5(F.coalesce(F.col("extracted_text"), F.lit("")))
+    )
+    sched = recrawl_schedule(
+        hist,
+        key="url_hash",
+        ts="fetched_ts",
+        fingerprint="_fp",
+        tiebreak="attempt",
+        base_interval_h=base_interval_h,
+        max_doublings=max_doublings,
+    )
+    due = due_for_refetch(sched, key="url_hash", ts="fetched_ts", now=now_ts)
+    return due.select(
+        F.col("url_canon").alias("url"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "depth",
+        F.col("fetched_ts").alias("discovered_ts"),
+        F.lit(None).cast("long").alias("src_url_hash"),
+        F.lit(0).alias("attempt"),
+        F.col("next_fetch_ts").alias("next_eligible_ts"),
+    ).select(*FRONTIER_COLS)
+
+
 def run_crawl(
     spark: SparkSession,
     store: StateStore,
