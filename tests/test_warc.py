@@ -314,6 +314,38 @@ def test_cdx_index_gives_random_access_to_every_record(spark, tmp_path):
         assert os.path.getsize(path) == total
 
 
+def test_wet_export_is_the_byte_exact_extracted_text(spark, tmp_path):
+    """WET sibling archive: one conversion record per ok fetch, payload
+    byte-identical to the committed extracted_text, no page-store join."""
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+    from web_crawling_prj_spark.sources.warc import wet_round
+
+    sf = "/root/testdata/sf0.001"
+    pages, seeds, robots = pages_df(spark, sf), seeds_df(spark, sf), robots_df(spark)
+    cfg = CrawlConfig(num_buckets=4)
+    store = crawl_store(str(tmp_path / "store"), cfg)
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
+
+    man = wet_round(spark, store, 1, str(tmp_path / "wet"), num_files=4)
+    assert all(m["path"].endswith(".warc.wet.gz") for m in man)
+    wet = read_warc_dir(spark, str(tmp_path / "wet")).collect()
+    assert len(wet) == stats[0]["ok"]
+    assert all(r["rec_type"] == "conversion" for r in wet)
+    committed = {
+        r["url_canon"]: r["extracted_text"]
+        for r in store.read_round(spark, "fetch_log", 1)
+        .where(F.col("error_class") == "ok")
+        .collect()
+    }
+    for r in wet:
+        assert r["payload"] == (committed[r["target_uri"]] or "")
+
+
 def test_torn_gz_archive_raises_not_truncates(spark, tmp_path):
     from web_crawling_prj_spark.sources.warc import warc_gz_files_df, write_warc_files
 

@@ -453,6 +453,49 @@ def archive_round(
     return manifest
 
 
+def wet_round(
+    spark: SparkSession,
+    store,
+    round_id: int,
+    out_root: str,
+    num_files: int,
+) -> list[dict]:
+    """WET export — Common Crawl's extracted-TEXT sibling of the WARC
+    archive: one ``conversion`` record per successfully fetched page whose
+    payload is the byte-exact extracted text (already in the committed
+    fetch_log — no page-store join at all). Same member-gzip packing,
+    ``part-NNNNNN.warc.wet.gz`` naming per Common Crawl convention; same
+    derived-artifact semantics as :func:`archive_round`. This is the archive
+    LLM-training pipelines actually consume."""
+    import os
+    import shutil
+
+    log = store.read_round(spark, "fetch_log", round_id)
+    ok = log.where(F.col("error_class") == "ok")
+    rec = ok.select(
+        F.pmod(F.col("url_hash"), F.lit(num_files)).alias("warc_file"),
+        F.col("url_hash").alias("order_key"),
+        warc_record_col(
+            F.col("url_canon"),
+            F.coalesce(F.col("extracted_text"), F.lit("")),
+            rec_type="conversion",
+            date=F.date_format("fetched_ts", _WARC_TS_FMT),
+        ).alias("record"),
+    )
+    files = warc_gz_files_df(
+        rec, file_key=F.col("warc_file"), order_key=F.col("order_key"), record=F.col("record")
+    )
+    out_dir = os.path.join(out_root, f"round={round_id:06d}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    manifest = write_warc_files(
+        files.select("warc_file", "blob"), out_dir, suffix=".warc.wet.gz"
+    )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest
+
+
 def archive_missing_rounds(
     spark: SparkSession,
     store,
@@ -487,7 +530,7 @@ def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
     writer never match the glob."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{warc,warc.gz}")
+        .option("pathGlobFilter", "*.{warc,warc.gz,warc.wet.gz}")
         .load(path)
         .select(F.xxhash64("path").alias("warc_file"), F.col("content").alias("blob"))
     )
