@@ -207,6 +207,32 @@ def test_parse_robots_udf_and_gate(spark):
     }
 
 
+def test_rfc_gate_stays_python_free_on_the_big_side(spark):
+    """The RFC tier's regex evaluation is native (regexp_like inside HOFs):
+    the gate plan over the frontier must contain NO Python eval node — the
+    only Python in the robots path is the per-host parse UDF, which runs on
+    the tiny robots table, not the billions-row frontier."""
+    raw = spark.createDataFrame(
+        [("a.example", "User-agent: *\nAllow: /p/ok\nDisallow: /p*\n")],
+        "host string, robots_txt string",
+    )
+    robots = parse_robots_table(raw).collect()  # parse done; rebuild as literal table
+    robots_df2 = spark.createDataFrame(
+        robots, "host string, disallow_prefixes array<string>, "
+        "rules array<struct<rx:string,plen:int,allow:boolean>>, crawl_delay_ms int",
+    )
+    frontier = spark.createDataFrame(
+        [("a.example", "https://a.example/p/ok/x")], "host string, url_canon string"
+    )
+    plan = (
+        gate_frontier(frontier, robots_df2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_robots_allows_root_disallow(spark):
     df = spark.createDataFrame([("/any/path", ["/"])], "path string, dis array<string>")
     assert df.select(robots_allows(F.col("path"), F.col("dis")).alias("a")).first().a is False

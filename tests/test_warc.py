@@ -346,6 +346,58 @@ def test_wet_export_is_the_byte_exact_extracted_text(spark, tmp_path):
         assert r["payload"] == (committed[r["target_uri"]] or "")
 
 
+def test_wat_export_metadata_matches_committed_state(spark, tmp_path):
+    """WAT sibling archive: one metadata record per ok fetch whose JSON
+    payload reproduces the committed crawl facts — text md5 and the outlink
+    list identical to what the crawl's own discovery stage derives."""
+    from web_crawling_prj_spark.operators.fetch import discover_outlinks
+    from web_crawling_prj_spark.plans.crawl_round import (
+        CrawlConfig,
+        crawl_store,
+        run_crawl,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+    from web_crawling_prj_spark.sources.warc import wat_round
+
+    sf = "/root/testdata/sf0.001"
+    pages, seeds, robots = pages_df(spark, sf), seeds_df(spark, sf), robots_df(spark)
+    cfg = CrawlConfig(num_buckets=4)
+    store = crawl_store(str(tmp_path / "store"), cfg)
+    stats = run_crawl(spark, store, pages, robots, seeds, rounds=1, cfg=cfg)
+
+    man = wat_round(spark, store, 1, str(tmp_path / "wat"), num_files=4)
+    assert all(m["path"].endswith(".warc.wat.gz") for m in man)
+    parsed = read_warc_dir(spark, str(tmp_path / "wat"))
+    wat = parsed.select(
+        "target_uri",
+        F.from_json(
+            "payload",
+            "url string, http_code int, fetched string, text_md5 string, "
+            "text_chars long, outlinks array<string>",
+        ).alias("m"),
+    ).collect()
+    assert len(wat) == stats[0]["ok"]
+
+    ok = store.read_round(spark, "fetch_log", 1).where(F.col("error_class") == "ok")
+    want_md5 = {
+        r["url_canon"]: r["md5"]
+        for r in ok.select(
+            "url_canon", F.md5(F.coalesce("extracted_text", F.lit(""))).alias("md5")
+        ).collect()
+    }
+    want_links: dict[str, set] = {}
+    for r in discover_outlinks(ok).select("src_url_hash", "url_canon").join(
+        ok.select(F.col("url_hash").alias("src_url_hash"), F.col("url_canon").alias("src")),
+        "src_url_hash",
+    ).collect():
+        want_links.setdefault(r["src"], set()).add(r["url_canon"])
+    for r in wat:
+        m = r["m"]
+        assert m["url"] == r["target_uri"]
+        assert m["text_md5"] == want_md5[m["url"]]
+        assert set(m["outlinks"]) == want_links.get(m["url"], set())
+
+
 def test_torn_gz_archive_raises_not_truncates(spark, tmp_path):
     from web_crawling_prj_spark.sources.warc import warc_gz_files_df, write_warc_files
 

@@ -496,6 +496,76 @@ def wet_round(
     return manifest
 
 
+def wat_round(
+    spark: SparkSession,
+    store,
+    round_id: int,
+    out_root: str,
+    num_files: int,
+    links_per_page: int = 3,
+    max_doc_id: int | None = None,
+) -> list[dict]:
+    """WAT export — the METADATA member of Common Crawl's WARC/WAT/WET trio:
+    one ``metadata`` record per fetched page whose payload is a JSON envelope
+    of the crawl facts (http code, fetch time, extracted-text digest/length,
+    outlink list). Everything is native — ``to_json`` over a struct, the
+    outlinks re-derived from the committed fetch_log exactly as the crawl's
+    own discovery stage derives them (same operator, so WAT links ≡ the
+    frontier's discovered edges by construction). Same packing/naming rules
+    as the siblings: member-gzip, ``part-NNNNNN.warc.wat.gz``."""
+    import os
+    import shutil
+
+    from web_crawling_prj_spark.operators.fetch import discover_outlinks
+
+    log = store.read_round(spark, "fetch_log", round_id)
+    ok = log.where(F.col("error_class") == "ok")
+    links = (
+        discover_outlinks(ok, links_per_page=links_per_page, max_doc_id=max_doc_id)
+        .groupBy("src_url_hash")
+        .agg(F.array_sort(F.collect_list("url_canon")).alias("outlinks"))
+        .withColumnRenamed("src_url_hash", "url_hash")
+    )
+    meta = ok.join(links, "url_hash", "left").select(
+        "url_hash",
+        "url_canon",
+        F.to_json(
+            F.struct(
+                F.col("url_canon").alias("url"),
+                F.col("http_code"),
+                F.date_format("fetched_ts", _WARC_TS_FMT).alias("fetched"),
+                F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
+                F.length(F.coalesce("extracted_text", F.lit(""))).alias("text_chars"),
+                F.coalesce("outlinks", F.array().cast("array<string>")).alias("outlinks"),
+            )
+        ).alias("payload"),
+        F.date_format("fetched_ts", _WARC_TS_FMT).alias("_date"),
+    )
+    rec = meta.select(
+        F.pmod(F.col("url_hash"), F.lit(num_files)).alias("warc_file"),
+        F.col("url_hash").alias("order_key"),
+        warc_record_col(
+            F.col("url_canon"),
+            F.col("payload"),
+            rec_type="metadata",
+            date=F.col("_date"),
+            content_type="application/json",
+        ).alias("record"),
+    )
+    files = warc_gz_files_df(
+        rec, file_key=F.col("warc_file"), order_key=F.col("order_key"), record=F.col("record")
+    )
+    out_dir = os.path.join(out_root, f"round={round_id:06d}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    manifest = write_warc_files(
+        files.select("warc_file", "blob"), out_dir, suffix=".warc.wat.gz"
+    )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest
+
+
 def archive_missing_rounds(
     spark: SparkSession,
     store,
@@ -530,7 +600,7 @@ def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
     writer never match the glob."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{warc,warc.gz,warc.wet.gz}")
+        .option("pathGlobFilter", "*.{warc,warc.gz,warc.wet.gz,warc.wat.gz}")
         .load(path)
         .select(F.xxhash64("path").alias("warc_file"), F.col("content").alias("blob"))
     )
