@@ -223,6 +223,23 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution, value-exact: a synthetic 3xx map over the
+    doc-id space (30% of docs redirect; dst = (7·id+3) mod N, so real
+    chains, terminals, and cycles all occur) resolved to terminal targets
+    with an 8-hop budget. Oracle = recursive CTE walk with the same cap."""
+    from web_crawling_prj_spark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    edges = d.where(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    out = resolve_redirects(edges, max_hops=8)
+    return out.select("src", "final", F.col("hops").cast("int").alias("hops"), "terminated")
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1103,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
         "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
         "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
+        "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1821,6 +1839,24 @@ SELECT url, host,
             WHEN m_d1 THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM g
+""",
+        "redirect_resolve": """
+WITH RECURSIVE n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM n) AS dst
+  FROM documents WHERE doc_id % 10 < 3),
+walk AS (
+  SELECT src, dst AS final, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.final
+  WHERE w.hops < 8),
+last AS (
+  SELECT src, final, hops,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk)
+SELECT l.src, l.final, CAST(l.hops AS INT) AS hops,
+       NOT EXISTS (SELECT 1 FROM e WHERE e.src = l.final) AS terminated
+FROM last l WHERE l.rn = 1
 """,
         "recrawl_schedule": """
 WITH h AS (
