@@ -240,6 +240,36 @@ def q_redirect_resolve(spark, sf_dir):
     return out.select("src", "final", F.col("hops").cast("int").alias("hops"), "terminated")
 
 
+def q_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) politeness rollup, value-exact: hosts
+    synthesized across five suffix families (bare .com/.org, multi-label
+    co.uk / com.au / co.jp, with www/shop/a.b/cdn subdomain shapes) are
+    grouped by the engine's generic native eTLD+1 rule. The oracle derives
+    each arm's expected domain INDEPENDENTLY from the synthesis formula —
+    not by re-running the algorithm — so a suffix-table or slicing bug
+    breaks the hash."""
+    from web_crawling_prj_spark.functions.urls import registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    arm = F.col("doc_id") % 5
+    host = (
+        F.when(arm == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+        .when(arm == 1, F.concat(F.lit("shop.site"), k, F.lit(".co.uk")))
+        .when(arm == 2, F.concat(F.lit("a.b.site"), k, F.lit(".com.au")))
+        .when(arm == 3, F.concat(F.lit("site"), k, F.lit(".org")))
+        .otherwise(F.concat(F.lit("cdn.site"), k, F.lit(".co.jp")))
+    )
+    hosts = d.select(host.alias("host"))
+    return (
+        hosts.groupBy(registrable_domain("host").alias("domain"))
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").alias("n_urls"),
+        )
+    )
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1121,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
         "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
         "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
+        "domain_rollup": q_domain_rollup,  # eTLD+1 registrable-domain rollup, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1839,6 +1870,31 @@ SELECT url, host,
             WHEN m_d1 THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM g
+""",
+        # expected domains derived from the synthesis arms, NOT from the
+        # eTLD+1 algorithm: www.siteK.com→siteK.com, shop.siteK.co.uk→
+        # siteK.co.uk, a.b.siteK.com.au→siteK.com.au, siteK.org stays,
+        # cdn.siteK.co.jp→siteK.co.jp
+        "domain_rollup": """
+WITH h AS (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'www.site'  || CAST(doc_id % 20 AS VARCHAR) || '.com'
+           WHEN 1 THEN 'shop.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+           WHEN 2 THEN 'a.b.site'  || CAST(doc_id % 20 AS VARCHAR) || '.com.au'
+           WHEN 3 THEN 'site'      || CAST(doc_id % 20 AS VARCHAR) || '.org'
+           ELSE        'cdn.site'  || CAST(doc_id % 20 AS VARCHAR) || '.co.jp'
+         END AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+           WHEN 1 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+           WHEN 2 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com.au'
+           WHEN 3 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+           ELSE        'site' || CAST(doc_id % 20 AS VARCHAR) || '.co.jp'
+         END AS domain
+  FROM documents)
+SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM h GROUP BY domain
 """,
         "redirect_resolve": """
 WITH RECURSIVE n AS (SELECT max(doc_id) + 1 AS n FROM documents),

@@ -62,3 +62,25 @@ def test_host_and_depth(spark):
     rows = df.select(host_of("url").alias("h"), url_depth("url").alias("d")).collect()
     assert rows[0].h == "host-0001.example" and rows[0].d == 3
     assert rows[1].h == "h.example" and rows[1].d == 0
+
+
+@pytest.mark.parametrize(
+    "host, want",
+    [
+        ("www.example.com", "example.com"),
+        ("a.b.shop.example.co.uk", "example.co.uk"),
+        ("EXAMPLE.co.uk.", "example.co.uk"),  # case + trailing-dot FQDN
+        ("example.com", "example.com"),
+        ("co.uk", "co.uk"),            # bare public suffix passes through
+        ("localhost", "localhost"),    # single label (ANSI-safe: F.get, not element_at)
+        ("deep.sub.host.com.au", "host.com.au"),
+        ("x.co.jp", "x.co.jp"),        # already exactly eTLD+1
+    ],
+)
+def test_registrable_domain(spark, host, want):
+    from pyspark.sql import functions as F
+
+    from web_crawling_prj_spark.functions.urls import registrable_domain
+
+    df = spark.createDataFrame([(host,)], "h string")
+    assert df.select(registrable_domain("h").alias("d")).first()["d"] == want

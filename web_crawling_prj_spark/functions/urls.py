@@ -136,3 +136,44 @@ def url_depth(url_canon: Column | str) -> Column:
     c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
     path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("/"))
     return F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+
+
+#: common multi-label public suffixes (static subset of the public suffix
+#: list — the full PSL is a fetched artifact; this embedded core covers the
+#: high-traffic ccTLD families and is the standard fallback when the PSL is
+#: unavailable). Registrable domain = one label more than the matched suffix.
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "web.za",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.id", "or.id",
+]
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """eTLD+1 (registrable domain) of a hostname, fully native.
+
+    Real crawlers enforce politeness and dedup ownership at DOMAIN
+    granularity, not hostname (``a.shop.example.co.uk`` and
+    ``b.shop.example.co.uk`` are one site: ``example.co.uk``). Rule: if the
+    last two labels form a known multi-label public suffix, take three
+    labels, else two; hosts with fewer labels than that (bare TLDs,
+    single-label hosts, IPs with no dots… ) pass through unchanged.
+    """
+    c = F.lower(F.col(host) if isinstance(host, str) else host)
+    c = F.regexp_replace(c, r"\.$", "")  # trailing-dot FQDN form
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    # F.get is 0-based and NULL-safe out of range (element_at would raise
+    # under ANSI for single-label hosts); concat_ws skips the NULL
+    last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
+    is_multi = last2.isin(MULTI_LABEL_SUFFIXES)
+    take = F.when(is_multi, F.lit(3)).otherwise(F.lit(2))
+    return F.when(
+        n <= take, c
+    ).otherwise(F.concat_ws(".", F.slice(labels, n - take + 1, take)))
