@@ -270,6 +270,34 @@ def q_domain_rollup(spark, sf_dir):
     )
 
 
+def q_canonical_groups(spark, sf_dir):
+    """rel=canonical consolidation, value-exact: every doc in a group of 3
+    declares the group head as canonical (attribute order alternates —
+    ``rel…href`` and ``href…rel`` both occur), heads declare nothing.
+    The engine extracts the link natively and groups aliases onto their
+    canonical target; the oracle derives groups from doc_id arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://c.example/doc/"), F.col("doc_id").cast("string"))
+    head_url = F.concat(
+        F.lit("https://c.example/doc/"), (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+    )
+    link = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), head_url, F.lit('"/>')),
+        )
+        .otherwise(F.concat(F.lit('<link href="'), head_url, F.lit('" rel="canonical"/>')))
+    )
+    html = F.concat(F.lit("<html><head>"), link, F.lit("</head><body>x</body></html>"))
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    tgt = F.coalesce(T.canonical_link("html"), F.col("url"))
+    return pages.groupBy(tgt.alias("canonical_url")).agg(
+        F.count("*").alias("n_members"),
+        F.min("url").alias("first_member"),
+    )
+
+
 def q_error_classification(spark, sf_dir):
     """C8: status→class ladder parity (error_handler.py:73-99) on derived codes."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
@@ -1152,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
         "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
         "domain_rollup": q_domain_rollup,  # eTLD+1 registrable-domain rollup, value-exact
+        "canonical_groups": q_canonical_groups,  # rel=canonical consolidation, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1870,6 +1899,15 @@ SELECT url, host,
             WHEN m_d1 THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM g
+""",
+        # groups derived straight from doc_id arithmetic — the engine must
+        # re-discover them by parsing the html it just rendered
+        "canonical_groups": """
+SELECT 'https://c.example/doc/' || CAST(doc_id - doc_id % 3 AS VARCHAR) AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min('https://c.example/doc/' || CAST(doc_id AS VARCHAR)) AS first_member
+FROM documents
+GROUP BY doc_id - doc_id % 3
 """,
         # expected domains derived from the synthesis arms, NOT from the
         # eTLD+1 algorithm: www.siteK.com→siteK.com, shop.siteK.co.uk→

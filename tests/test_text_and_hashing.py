@@ -93,3 +93,23 @@ def test_pages_gen_deterministic(spark, sf_dir):
     assert bad == 0
     assert seeds_df(spark, sf_dir).count() > 0
     assert robots_df(spark).count() == 97
+
+
+def test_canonical_link_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawling_prj_spark.functions.text import canonical_link
+
+    cases = [
+        ('<head><link rel="canonical" href="https://x/1"/></head>', "https://x/1"),
+        ('<head><link href="https://x/2" rel="canonical"/></head>', "https://x/2"),
+        ("<head><link rel='canonical' href='https://x/3'/></head>", "https://x/3"),
+        ('<head><link rel="stylesheet" href="https://x/css"/></head>', None),
+        ("<head></head>", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["c"] for r in df.select(canonical_link("html").alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    # binary html (the pages-table shape) decodes transparently
+    b = spark.createDataFrame([(cases[0][0].encode(),)], "html binary")
+    assert b.select(canonical_link("html").alias("c")).first()["c"] == "https://x/1"

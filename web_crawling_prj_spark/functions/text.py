@@ -244,3 +244,24 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
 
     norm = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
     return F.element_at(F.transform(F.array(norm), _fps), 1)
+
+
+def canonical_link(html: Column | str) -> Column:
+    """``<link rel="canonical" href="…">`` target from an html document —
+    NULL when absent. Native (two regexp_extracts coalesced: attribute
+    order is free in HTML, so both ``rel…href`` and ``href…rel`` forms
+    match); accepts binary or string html. The canonical link is the
+    dedup-ownership signal real crawls honor: all alias URLs of a page
+    consolidate onto its declared canonical before the seen-set sees them.
+    """
+    s = _c(html).cast("string")
+    rel_then_href = F.regexp_extract(
+        s, "<link[^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']", 1
+    )
+    href_then_rel = F.regexp_extract(
+        s, "<link[^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']", 1
+    )
+    got = F.when(rel_then_href != "", rel_then_href).otherwise(
+        F.when(href_then_rel != "", href_then_rel)
+    )
+    return got
