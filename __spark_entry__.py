@@ -96,6 +96,31 @@ def q_frontier_dedup(spark, sf_dir):
     return pending.select("url", "host", F.round("priority", 6).alias("priority"))
 
 
+def q_frontier_dedup_cuckoo(spark, sf_dir):
+    """J1 via the DELETABLE filter tier: frontier ∖ seen routed through a
+    sharded cuckoo filter (operators.cuckoo — the north-star's "partitioned
+    cuckoo/bloom-filter URL-seen set", cuckoo half). Probe-false rows skip
+    the exact join; probe-true rows are rescued exactly on `url`, so the
+    result is identical to q_frontier_dedup regardless of filter fp-rate
+    (same oracle)."""
+    from web_crawling_prj_spark.operators.cuckoo import (
+        build_sharded_cuckoo,
+        cuckoo_might_contain,
+    )
+
+    frontier = _frontier(spark, sf_dir).withColumn("_h", F.xxhash64("url"))
+    seen = _seen(spark, sf_dir).withColumn("_h", F.xxhash64("url"))
+    n_seen = seen.count()
+    ck = build_sharded_cuckoo(
+        seen, hash_col="_h", num_shards=16, expected_per_shard=max(1000, n_seen // 8)
+    )
+    pending = anti_join_seen(
+        frontier, seen.select("url"), key="url",
+        probe_col=cuckoo_might_contain(ck, "_h", spark=spark),
+    )
+    return pending.select("url", "host", F.round("priority", 6).alias("priority"))
+
+
 def q_politeness_topk(spark, sf_dir):
     """W4: per-host priority top-k with deterministic tiebreak (url)."""
     pending = anti_join_seen(_frontier(spark, sf_dir), _seen(spark, sf_dir), key="url")
@@ -647,6 +672,22 @@ def q_exact_dup_flags(spark, sf_dir):
     )
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Dedup tier 2.5: exact duplicate-substring spans — maximal token spans
+    whose every 8-gram occurs ≥2× corpus-wide (within- or cross-doc), the
+    distributed re-expression of Lee et al. ACL'22 suffix-array dedup
+    (operators.textdedup.duplicate_ngram_spans)."""
+    from web_crawling_prj_spark.operators.textdedup import duplicate_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(d, n=8, min_count=2).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     """Similarity: exact brute-force cosine top-5 for 3 query vectors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1181,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
         "domain_rollup": q_domain_rollup,  # eTLD+1 registrable-domain rollup, value-exact
         "canonical_groups": q_canonical_groups,  # rel=canonical consolidation, value-exact
+        "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,  # deletable filter tier, value-exact
+        "dup_ngram_spans": q_dup_ngram_spans,  # exact substring-dedup spans, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1350,6 +1393,44 @@ def oracle_sql() -> dict[str, str]:
 WITH {_FRONTIER_SQL}
 SELECT f.url, f.host, round(f.priority, 6) AS priority
 FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+""",
+        # the cuckoo filter is routing-only — exact result ≡ frontier_dedup
+        "frontier_dedup_cuckoo": f"""
+WITH {_FRONTIER_SQL}
+SELECT f.url, f.host, round(f.priority, 6) AS priority
+FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+""",
+        # exact duplicate-substring spans: positional 8-grams (same tokenizer
+        # as the minhash oracle), corpus-wide count>=2, interval merge per doc
+        "dup_ngram_spans": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN list_transform(range(1, len(t) - 7 + 1),
+                                  i -> md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))
+              ELSE [] END AS grams
+  FROM toks),
+occ AS (
+  SELECT doc_id, CAST(unnest(range(len(grams))) AS INT) AS pos, unnest(grams) AS gh
+  FROM g WHERE len(grams) > 0),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+d AS (SELECT o.doc_id, o.pos, o.pos + 8 AS e FROM occ o JOIN dup USING (gh)),
+m AS (SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM d),
+grp AS (SELECT doc_id, pos, e,
+               sum(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM m)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(pos) AS INT) AS span_tokens
+FROM grp GROUP BY doc_id, gid
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

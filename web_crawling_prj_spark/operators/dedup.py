@@ -59,19 +59,28 @@ def anti_join_seen(
     broadcast_seen: bool = False,
     spark=None,
     bloom_bcast=None,
+    probe_col=None,
 ) -> DataFrame:
     """pending = frontier ∖ seen. Exact anti-join is always the authority;
-    the Bloom tier only routes provably-unseen rows around the shuffle.
+    the filter tier only routes provably-unseen rows around the shuffle.
     ``bloom_bcast``: caller-owned broadcast of the bloom bits (see
-    operators.bloom.broadcast_bloom) so round loops can release it."""
+    operators.bloom.broadcast_bloom) so round loops can release it.
+    ``probe_col``: any prebuilt no-false-negative membership Column (e.g.
+    operators.cuckoo.cuckoo_might_contain — the DELETABLE filter kind) used
+    in place of the bloom probe; mutually exclusive with ``bloom``."""
+    if bloom is not None and probe_col is not None:
+        raise ValueError("pass either bloom or probe_col, not both")
     seen_keys = seen.select(key)
     if broadcast_seen:
         seen_keys = F.broadcast(seen_keys)
-    if bloom is None:
+    if bloom is None and probe_col is None:
         return frontier.join(seen_keys, key, "left_anti")
-    probed = frontier.withColumn(
-        "_maybe_seen", might_contain(bloom, key, spark=spark, bcast=bloom_bcast)
+    probe = (
+        probe_col
+        if probe_col is not None
+        else might_contain(bloom, key, spark=spark, bcast=bloom_bcast)
     )
+    probed = frontier.withColumn("_maybe_seen", probe)
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = candidates.join(seen_keys, key, "left_anti")

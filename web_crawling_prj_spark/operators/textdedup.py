@@ -205,6 +205,110 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(s == 0, F.array(F.lit(""))).otherwise(sliced))
 
 
+# --- tier 2.5: exact duplicate-substring SPANS (sub-document dedup) ---
+
+def positional_ngrams_col(text_col: Column | str, n: int) -> Column:
+    """Word n-grams WITH implicit positions: element i (0-based) of the result
+    is the gram starting at token i. Same chained zip_with construction as
+    :func:`shingles_col` (and the same tokenization — the two must stay
+    value-aligned), but NO array_distinct (positions matter) and docs shorter
+    than n tokens yield an EMPTY array (they cannot contain an n-token span;
+    shingles_col instead keeps a whole-doc shingle because set semantics want
+    every doc represented)."""
+    toks = tokens_col(text_col)
+    s = F.coalesce(F.size(toks), F.lit(0))
+    grams = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(s - i, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(s < n, F.array().cast("array<string>")).otherwise(
+        F.slice(grams, 1, s - (n - 1))
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection: maximal token spans whose every
+    n-gram occurs ≥ ``min_count`` times in the corpus (within- or cross-doc).
+
+    The sub-document tier of the dedup family (document-level exact/near-dup
+    tiers above miss boilerplate repeated INSIDE otherwise-unique pages —
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, solve this with suffix arrays on one machine; the distributed
+    re-expression is positional n-gram frequency + interval merge).
+
+    Plan (3 shuffles, all key-partial):
+      1. posexplode positional n-grams, key = md5(gram) (fixed 16-byte
+         shuffle key instead of the raw gram string);
+      2. groupBy(gram_hash) count — partial-aggregable map-side; duplicated
+         grams are the ones with count ≥ min_count;
+      3. left-semi back to occurrences (duplicated positions only), then ONE
+         per-doc window pass merges overlapping [pos, pos+n) intervals into
+         maximal spans (classic running-max interval merge).
+
+    Returns (id_col, span_start, span_end, span_tokens): token-index spans,
+    end exclusive. Every returned span is ≥ n tokens and maximal."""
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(positional_ngrams_col(text_col, n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("gh"))
+    dup_grams = occ.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
+    dup_occ = occ.join(dup_grams, "gh", "left_semi").select(
+        id_col, "pos", (F.col("pos") + n).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup_occ.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)
+    ).withColumn("_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def dup_span_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-token budget from :func:`duplicate_ngram_spans` —
+    the number a filtering pipeline thresholds on (e.g. drop docs with >50%
+    duplicated tokens). Left join back to ALL docs so clean docs report 0."""
+    spans = duplicate_ngram_spans(docs, id_col, text_col, n=n, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"), F.count("*").alias("n_spans")
+    )
+    toks = docs.select(
+        F.col(id_col), F.coalesce(F.size(tokens_col(text_col)), F.lit(0)).alias("n_tokens")
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")
+            ),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
 # --- tier 3: MinHash + LSH ---
 
 def _seeded_hash(seed: str, s: Column, hash_fn: str) -> Column:
