@@ -688,6 +688,17 @@ def q_dup_ngram_spans(spark, sf_dir):
     )
 
 
+def q_trap_templates(spark, sf_dir):
+    """Crawl-trap detection: URL-template explosion counts per host
+    (operators.traps — host-0000 concentrates 40% of the synthetic frontier,
+    so its /doc/«d» template flags at the 100-URL budget)."""
+    from web_crawling_prj_spark.operators.traps import detect_trap_templates
+
+    return detect_trap_templates(
+        _frontier(spark, sf_dir).select("url"), max_per_template=100
+    ).select("host", "template", F.col("n_urls").cast("long").alias("n_urls"), "is_trap")
+
+
 def q_embedding_topk(spark, sf_dir):
     """Similarity: exact brute-force cosine top-5 for 3 query vectors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1224,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_groups": q_canonical_groups,  # rel=canonical consolidation, value-exact
         "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,  # deletable filter tier, value-exact
         "dup_ngram_spans": q_dup_ngram_spans,  # exact substring-dedup spans, value-exact
+        "trap_templates": q_trap_templates,  # URL-template explosion detection, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1431,6 +1443,20 @@ grp AS (SELECT doc_id, pos, e,
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(e) AS INT) AS span_end,
        CAST(max(e) - min(pos) AS INT) AS span_tokens
 FROM grp GROUP BY doc_id, gid
+""",
+        # URL-template explosion: same collapse rules (uuid → hex → digits)
+        # applied with plain regexes to scheme/host-stripped urls
+        "trap_templates": f"""
+WITH {_FRONTIER_SQL},
+t AS (SELECT host,
+             host || regexp_replace(regexp_replace(regexp_replace(
+                       lower(regexp_replace(regexp_replace(url, '^https?://[^/]+', ''), '#.*$', '')),
+                       '[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{12}}', '«u»', 'g'),
+                       '[0-9a-f]{{16,}}', '«x»', 'g'),
+                       '[0-9]+', '«d»', 'g') AS template
+      FROM frontier)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls, count(*) > 100 AS is_trap
+FROM t GROUP BY host, template
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

@@ -111,6 +111,12 @@ class CrawlConfig:
     # rewrite is already O(backlog), so the blend does not change its
     # complexity class).
     pagerank_every: int = 1
+    # crawl-trap budgeting (operators.traps): cap how many URLs of one URL
+    # TEMPLATE (volatile tokens collapsed) may be scheduled per round
+    # (0 = off). Cut rows are NOT dropped — they stay pending (legacy: in
+    # leftover; delta: live in the log), so a trap drains at cap/round while
+    # the rest of its host's budget goes to real pages.
+    trap_max_per_template: int = 0
     # fold seen_delta round dirs into a bucketed base every K rounds so the
     # per-round seen-set scan lists O(1+K) paths forever (0 = off). Pure
     # file-layout rewrite, never a semantics change; resume-safe (atomic
@@ -749,8 +755,22 @@ def _run_round(
             )
             .drop("_ho")
         )
+    # crawl-trap budgeting: candidates for THIS round's schedule are capped
+    # per URL template; `allowed` itself stays untouched so trap-cut rows
+    # remain pending (legacy leftover math subtracts from the uncapped set)
+    candidates = allowed
+    if cfg.trap_max_per_template > 0:
+        from web_crawling_prj_spark.operators.traps import cap_trapped_frontier
+
+        candidates = cap_trapped_frontier(
+            allowed,
+            url_col="url_canon",
+            priority_col="priority",
+            max_per_template=cfg.trap_max_per_template,
+            n_salts=cfg.n_salts,
+        )
     scheduled = schedule_round(
-        allowed,
+        candidates,
         budgets,
         n_salts=cfg.n_salts,
         default_budget=cfg.default_budget,
