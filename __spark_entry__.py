@@ -688,6 +688,34 @@ def q_dup_ngram_spans(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: record discovery from robots.txt (operators.robots.
+    sitemap_records, native multiline regexp — no UDF): per-host synthetic
+    robots text carries two records in mixed case with an inline comment."""
+    from web_crawling_prj_spark.operators.robots import sitemap_records
+
+    hosts = _frontier(spark, sf_dir).select("host").distinct()
+    txt = F.concat(
+        F.lit("# policy\nUser-agent: *\nDisallow: /private\nSitemap: https://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\nsitemap: https://"),
+        F.col("host"),
+        F.lit("/news.xml # news index\n"),
+    )
+    return sitemap_records(hosts.select("host", txt.alias("robots_txt")))
+
+
+def q_url_hll_registers(spark, sf_dir):
+    """Relational HyperLogLog over frontier URLs (operators.sketches.hll_build,
+    p=12): the (reg, max_rho) register rows ARE the sketch — integer-exact and
+    oracle-checkable, unlike an opaque HLL blob; merge = union + max."""
+    from web_crawling_prj_spark.operators.sketches import hll_build
+
+    return hll_build(_frontier(spark, sf_dir).select("url"), "url", p=12).select(
+        F.col("reg").cast("int").alias("reg"), F.col("max_rho").cast("int").alias("max_rho")
+    )
+
+
 def q_trap_templates(spark, sf_dir):
     """Crawl-trap detection: URL-template explosion counts per host
     (operators.traps — host-0000 concentrates 40% of the synthetic frontier,
@@ -1236,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,  # deletable filter tier, value-exact
         "dup_ngram_spans": q_dup_ngram_spans,  # exact substring-dedup spans, value-exact
         "trap_templates": q_trap_templates,  # URL-template explosion detection, value-exact
+        "url_hll_registers": q_url_hll_registers,  # relational HyperLogLog, value-exact
+        "robots_sitemaps": q_robots_sitemaps,  # Sitemap: record discovery, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1457,6 +1487,28 @@ t AS (SELECT host,
       FROM frontier)
 SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls, count(*) > 100 AS is_trap
 FROM t GROUP BY host, template
+""",
+        # HLL registers: 60-bit md5-hex hash, reg = low 12 bits, rho = leading
+        # zeros of the upper 48 bits + 1 via integer bin-length (no float log2)
+        "url_hll_registers": f"""
+WITH {_FRONTIER_SQL},
+h AS (SELECT CAST('0x' || substr(md5(url), 1, 15) AS BIGINT) AS h FROM frontier),
+r AS (SELECT CAST(h & 4095 AS INT) AS reg,
+             CAST(CASE WHEN (h >> 12) = 0 THEN 49 ELSE 49 - length(bin(h >> 12)) END AS INT) AS rho
+      FROM h)
+SELECT reg, CAST(max(rho) AS INT) AS max_rho FROM r GROUP BY reg
+""",
+        "robots_sitemaps": f"""
+WITH {_FRONTIER_SQL},
+hosts AS (SELECT DISTINCT host FROM frontier),
+raw AS (SELECT host,
+               '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+               || 'Sitemap: https://' || host || '/sitemap.xml' || chr(10)
+               || 'sitemap: https://' || host || '/news.xml # news index' || chr(10) AS robots_txt
+        FROM hosts)
+SELECT host,
+       unnest(regexp_extract_all(robots_txt, '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\\s]+)', 1)) AS sitemap_url
+FROM raw
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

@@ -84,3 +84,55 @@ def test_sitemap_index_and_frontier_seeding(spark):
     row = fr.first()
     assert row["url_canon"] == "https://h.example/x?a=1&b=2"
     assert row["priority"] == 0.9 and row["depth"] == 0
+
+
+def test_sitemap_records_from_robots(spark):
+    """robots.txt Sitemap: discovery — global records, case-insensitive key,
+    inline comments and surrounding rules ignored."""
+    from web_crawling_prj_spark.operators.robots import sitemap_records
+
+    txt_a = (
+        "# crawler policy\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://a.example/sitemap.xml\n"
+        "\tSITEMAP:\thttps://a.example/news.xml  # news index\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    txt_b = "User-agent: *\nAllow: /\n"  # no sitemap records
+    raw = spark.createDataFrame(
+        [("a.example", txt_a), ("b.example", txt_b)], "host string, robots_txt string"
+    )
+    got = sorted((r.host, r.sitemap_url) for r in sitemap_records(raw).collect())
+    assert got == [
+        ("a.example", "https://a.example/news.xml"),
+        ("a.example", "https://a.example/sitemap.xml"),
+    ]
+
+
+def test_robots_to_frontier_discovery_loop(spark):
+    """The full seed-discovery loop: robots → Sitemap records → (stub fetch =
+    rendered urlset) → entries → seeds → frontier."""
+    from web_crawling_prj_spark.operators.robots import sitemap_records
+    from web_crawling_prj_spark.plans.crawl_round import frontier_from_seeds
+
+    raw = spark.createDataFrame(
+        [("h.example", "User-agent: *\nSitemap: https://h.example/sm.xml\n")],
+        "host string, robots_txt string",
+    )
+    discovered = sitemap_records(raw)
+    assert discovered.count() == 1
+    # stub fetch: the discovered sitemap URL resolves to a rendered urlset
+    rows = spark.createDataFrame(
+        [("h.example", "https://h.example/page/1", 0.8),
+         ("h.example", "https://h.example/page/2", 0.6)],
+        "host string, loc string, pri double",
+    )
+    sm = urlset_xml(rows, host=F.col("host"), loc=F.col("loc"),
+                    order_key=F.col("loc"), priority=F.col("pri"))
+    fetched = discovered.join(sm, "host").select("host", "sitemap_xml")
+    seeds = seeds_from_sitemap_entries(sitemap_entries(fetched))
+    fr = frontier_from_seeds(seeds)
+    assert fr.count() == 2
+    assert {r.priority for r in fr.collect()} == {0.8, 0.6}

@@ -180,6 +180,23 @@ def parse_robots_table(raw_robots: DataFrame) -> DataFrame:
     )
 
 
+def sitemap_records(raw_robots: DataFrame, txt_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` records from raw robots.txt → (host, sitemap_url) rows.
+
+    Per the sitemaps.org protocol (and RFC 9309 §2.2.4 "other records"),
+    ``Sitemap:`` lines are GLOBAL — valid anywhere in the file, outside any
+    User-agent group — and carry absolute URLs, so extraction needs no group
+    machinery: one native multiline regexp over the raw text (key
+    case-insensitive, value stops at whitespace or an inline comment).
+    Fully codegen — unlike rule parsing, this never leaves the JVM.
+    Feeds sources.sitemaps.sitemap_entries → seeds_from_sitemap_entries:
+    the standard seed-discovery loop (robots → sitemap → frontier)."""
+    urls = F.expr(
+        f"regexp_extract_all({txt_col}, '(?im)^[ \\\\t]*sitemap[ \\\\t]*:[ \\\\t]*([^#\\\\s]+)', 1)"
+    )
+    return raw_robots.select("host", F.explode(urls).alias("sitemap_url"))
+
+
 def _rules_col(robots: DataFrame) -> Column:
     """The RFC rule column, tolerating pre-RFC robots tables (fixtures and
     stores that carry only ``disallow_prefixes``)."""
