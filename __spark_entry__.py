@@ -688,6 +688,51 @@ def q_dup_ngram_spans(spark, sf_dir):
     )
 
 
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation (operators.anchors): extract every <a> from the
+    rendered page store, resolve hrefs against the source URL, roll up text
+    per TARGET. The oracle re-derives the expected anchors from `documents`
+    alone (host/url synthesis formula + the renderer's fixed nav), so the
+    extraction path is verified end-to-end, not mirrored."""
+    from web_crawling_prj_spark.operators.anchors import (
+        anchor_text_rollup,
+        extract_anchors,
+        resolve_href,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df
+
+    pages = pages_df(spark, sf_dir).where(F.col("url").startswith("https://"))
+    anchors = extract_anchors(pages).withColumn(
+        "target_url", resolve_href("href", "url")
+    )
+    return anchor_text_rollup(anchors)
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """CCNet-style line dedup (textdedup.remove_boilerplate_lines): synthetic
+    pages wrap each doc in two global boilerplate lines + one per-host line;
+    the global lines and the hot host's line (host-0000 carries 40% of docs)
+    are removed at the 20-doc threshold, unique content + cold-host lines
+    survive in original order."""
+    from web_crawling_prj_spark.operators.textdedup import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    host_id = F.when(F.col("doc_id") % 5 < 2, F.lit(0)).otherwise(F.col("doc_id") % 50)
+    page = F.concat_ws(
+        "\n",
+        F.lit("Accept all cookies"),
+        F.col("text"),
+        F.concat(
+            F.lit("contact support at host-"),
+            F.lpad(host_id.cast("string"), 4, "0"),
+            F.lit(".example"),
+        ),
+        F.lit("subscribe to our newsletter"),
+    )
+    pages = d.select("doc_id", page.alias("text"))
+    return remove_boilerplate_lines(pages, min_docs=20)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap: record discovery from robots.txt (operators.robots.
     sitemap_records, native multiline regexp — no UDF): per-host synthetic
@@ -1266,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_templates": q_trap_templates,  # URL-template explosion detection, value-exact
         "url_hll_registers": q_url_hll_registers,  # relational HyperLogLog, value-exact
         "robots_sitemaps": q_robots_sitemaps,  # Sitemap: record discovery, value-exact
+        "boilerplate_removal": q_boilerplate_removal,  # CCNet line dedup, value-exact
+        "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1509,6 +1556,52 @@ raw AS (SELECT host,
 SELECT host,
        unnest(regexp_extract_all(robots_txt, '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\\s]+)', 1)) AS sitemap_url
 FROM raw
+""",
+        # CCNet line dedup: md5(lower(trim(line))) keys, count-distinct-docs
+        # >= 20 flags boilerplate, reassembly keeps original line order
+        "boilerplate_removal": """
+WITH pages AS (
+  SELECT doc_id,
+         'Accept all cookies' || chr(10) || text || chr(10) ||
+         'contact support at host-' ||
+         lpad(CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 50 END AS VARCHAR), 4, '0') ||
+         '.example' || chr(10) || 'subscribe to our newsletter' AS text
+  FROM documents),
+lines AS (SELECT doc_id, CAST(unnest(range(len(ls))) AS INT) AS pos, unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages)),
+keyed AS (SELECT doc_id, pos, line, md5(lower(trim(line))) AS lk FROM lines),
+flagged AS (SELECT lk FROM keyed GROUP BY lk HAVING count(DISTINCT doc_id) >= 20),
+kept AS (SELECT k.* FROM keyed k WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.lk = k.lk)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(count(*) AS INT) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS INT) AS n_total FROM pages)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, coalesce(a.n_kept, 0) AS n_kept,
+       CAST(t.n_total - coalesce(a.n_kept, 0) AS INT) AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        # expected anchors derived from documents alone: pages_gen's _mix host
+        # formula + the renderer's fixed nav (home '/', about '/about', self);
+        # NULL-text docs render no html hence no anchors
+        "anchor_text_agg": r"""
+WITH m AS (
+  SELECT doc_id,
+         ((doc_id % 1000003) * 2654435761 + 42) % 2147483647 AS h1,
+         ((doc_id % 1000003) * 2654435761 + 84) % 2147483647 AS h2
+  FROM documents WHERE text IS NOT NULL),
+u AS (
+  SELECT doc_id,
+         printf('host-%04d.example', CASE WHEN h1 % 100 < 25 THEN 0 ELSE h2 % 97 END) AS host
+  FROM m),
+a AS (
+  SELECT 'https://' || host || '/' AS target_url, 'home' AS anchor_text FROM u
+  UNION ALL
+  SELECT 'https://' || host || '/about', 'about' FROM u
+  UNION ALL
+  SELECT 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) || '?id=' ||
+         CAST(doc_id AS VARCHAR) || '&ref=seed', 'self' FROM u)
+SELECT target_url, anchor_text, CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY target_url, anchor_text
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

@@ -111,3 +111,56 @@ def test_spans_partitioning_independent(spark):
     # "tail-{i}" tokenizes to ["tail", "{i}"], so the shared region is the
     # 6-token prefix "common boiler plate text here tail" — one span per doc
     assert {(r.span_start, r.span_end) for r in a} == {(0, 6)}
+
+
+# --- corpus-frequency boilerplate line removal (tier 2.6) ---
+
+def test_boilerplate_lines_removed_content_kept(spark):
+    from web_crawling_prj_spark.operators.textdedup import remove_boilerplate_lines
+
+    boiler = "Accept all cookies"
+    docs = _docs(
+        spark,
+        [(i, f"{boiler}\ncontent {i} unique\nfooter note") for i in range(5)]
+        + [(99, "totally standalone page")],
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    for i in range(5):
+        assert out[i].clean_text == f"content {i} unique"
+        assert (out[i].n_kept, out[i].n_removed) == (1, 2)
+    assert out[99].clean_text == "totally standalone page"
+    assert (out[99].n_kept, out[99].n_removed) == (1, 0)
+
+
+def test_boilerplate_matching_is_case_and_pad_insensitive(spark):
+    from web_crawling_prj_spark.operators.textdedup import remove_boilerplate_lines
+
+    docs = _docs(
+        spark,
+        [(1, "ACCEPT COOKIES \nbody one"), (2, "accept cookies\nbody two"), (3, "  Accept Cookies\nbody three")],
+    )
+    out = {r.doc_id: r.clean_text for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out == {1: "body one", 2: "body two", 3: "body three"}
+
+
+def test_all_boilerplate_doc_survives_empty(spark):
+    from web_crawling_prj_spark.operators.textdedup import remove_boilerplate_lines
+
+    docs = _docs(spark, [(i, "same line") for i in range(4)])
+    out = remove_boilerplate_lines(docs, min_docs=2).collect()
+    assert len(out) == 4  # never dropped
+    assert all(r.clean_text == "" and r.n_kept == 0 and r.n_removed == 1 for r in out)
+
+
+def test_line_order_preserved_under_partitioning(spark):
+    from web_crawling_prj_spark.operators.textdedup import remove_boilerplate_lines
+
+    def body(i):
+        return "\n".join(f"line {j} of body {i}" for j in range(20))
+
+    docs = _docs(spark, [(i, f"shared header\n{body(i)}") for i in range(6)])
+    a = remove_boilerplate_lines(docs.repartition(1), min_docs=4).collect()
+    b = remove_boilerplate_lines(docs.repartition(11), min_docs=4).collect()
+    assert {r.doc_id: r.clean_text for r in a} == {r.doc_id: r.clean_text for r in b}
+    got = {r.doc_id: r.clean_text for r in a}
+    assert got == {i: body(i) for i in range(6)}  # original order, header gone

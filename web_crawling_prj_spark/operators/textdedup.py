@@ -309,6 +309,59 @@ def dup_span_profile(
     )
 
 
+# --- tier 2.6: corpus-frequency boilerplate LINE removal (CCNet-style) ---
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Drop lines that occur in ≥ ``min_docs`` distinct documents — the
+    line-level cleaning tier (CCNet, Wenzek et al. LREC 2020, deduplicates
+    hashed lines across shards to strip cookie banners / nav / footers that
+    survive document-level dedup because every PAGE is unique).
+
+    Plan: posexplode lines → md5(lower(trim(line))) key (fixed-width shuffle
+    key, case/padding-insensitive matching) → countDistinct(doc) per key
+    (two-phase partial agg) → left-anti occurrences vs flagged keys → per-doc
+    reassembly in original line order (array_sort on (pos, line) structs —
+    deterministic under any partitioning). Docs whose every line is
+    boilerplate come back with clean_text = '' (left join, never dropped).
+
+    Returns (id_col, clean_text, n_kept, n_removed)."""
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    key = F.md5(F.lower(F.trim(F.col("line"))))
+    flagged = (
+        lines.select(key.alias("lk"), id_col)
+        .groupBy("lk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("lk")
+    )
+    kept = lines.withColumn("lk", key).join(flagged, "lk", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda x: x["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("_n_total")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+    )
+
+
 # --- tier 3: MinHash + LSH ---
 
 def _seeded_hash(seed: str, s: Column, hash_fn: str) -> Column:
