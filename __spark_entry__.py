@@ -708,6 +708,43 @@ def q_anchor_text_agg(spark, sf_dir):
     return anchor_text_rollup(anchors)
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-metadata extraction (functions.text.html_title/meta_charset/
+    meta_robots_directives): title + declared charset + robots-meta gates per
+    page; docs with doc_id%7<2 get a noindex,nofollow robots meta appended to
+    the rendered html before extraction. Oracle re-derives everything from
+    `documents` (url formula, title = squashed first-40-chars, charset from
+    the renderer's fixed meta)."""
+    from web_crawling_prj_spark.functions.text import (
+        html_title,
+        meta_charset,
+        meta_robots_directives,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df
+
+    pages = pages_df(spark, sf_dir).where(
+        F.col("url").startswith("https://") & F.col("html").isNotNull()
+    )
+    aug = pages.withColumn(
+        "html2",
+        F.when(
+            F.col("doc_id") % 7 < 2,
+            F.concat(
+                F.col("html").cast("string"),
+                F.lit('<meta name="robots" content="noindex, nofollow">'),
+            ),
+        ).otherwise(F.col("html").cast("string")),
+    )
+    d = meta_robots_directives("html2")
+    return aug.select(
+        "url",
+        html_title("html2").alias("title"),
+        meta_charset("html2").alias("charset"),
+        F.array_contains(d, "noindex").alias("noindex"),
+        F.array_contains(d, "nofollow").alias("nofollow"),
+    )
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """CCNet-style line dedup (textdedup.remove_boilerplate_lines): synthetic
     pages wrap each doc in two global boilerplate lines + one per-host line;
@@ -1313,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,  # Sitemap: record discovery, value-exact
         "boilerplate_removal": q_boilerplate_removal,  # CCNet line dedup, value-exact
         "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
+        "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1602,6 +1640,28 @@ a AS (
          CAST(doc_id AS VARCHAR) || '&ref=seed', 'self' FROM u)
 SELECT target_url, anchor_text, CAST(count(*) AS BIGINT) AS n
 FROM a GROUP BY target_url, anchor_text
+""",
+        # title = escape(text[:40]) in the renderer, so extract+unescape+squash
+        # == squash(substr(text,1,40)); charset fixed by the renderer's meta;
+        # robots meta appended for doc_id%7<2
+        "page_metadata": r"""
+WITH m AS (
+  SELECT doc_id, text,
+         ((doc_id % 1000003) * 2654435761 + 42) % 2147483647 AS h1,
+         ((doc_id % 1000003) * 2654435761 + 84) % 2147483647 AS h2
+  FROM documents WHERE text IS NOT NULL),
+u AS (
+  SELECT doc_id, text,
+         printf('host-%04d.example', CASE WHEN h1 % 100 < 25 THEN 0 ELSE h2 % 97 END) AS host
+  FROM m)
+SELECT 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) || '?id=' ||
+       CAST(doc_id AS VARCHAR) || '&ref=seed' AS url,
+       CASE WHEN length(text) = 0 THEN 'untitled'
+            ELSE trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')) END AS title,
+       'utf-8' AS charset,
+       doc_id % 7 < 2 AS noindex,
+       doc_id % 7 < 2 AS nofollow
+FROM u
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

@@ -246,6 +246,65 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
     return F.element_at(F.transform(F.array(norm), _fps), 1)
 
 
+def html_title(html: Column | str) -> Column:
+    """``<title>…</title>`` text — entity-unescaped, inner whitespace
+    squashed; NULL when the document has no title element. Native."""
+    from web_crawling_prj_spark.sources.sitemaps import xml_unescape
+
+    s = _c(html).cast("string")
+    raw = F.regexp_extract(s, "(?is)<title[^>]*>(.*?)</title>", 1)
+    got = F.trim(F.regexp_replace(xml_unescape(raw), r"\s+", " "))
+    return F.when(got != "", got)
+
+
+def meta_content(html: Column | str, name: str) -> Column:
+    """``<meta name="{name}" content="…">`` value (both attribute orders,
+    case-insensitive name match) — NULL when absent. Native."""
+    s = _c(html).cast("string")
+    n = name.lower()
+    name_then_content = F.regexp_extract(
+        s, f"(?i)<meta[^>]*name=[\"']{n}[\"'][^>]*content=[\"']([^\"']*)[\"']", 1
+    )
+    content_then_name = F.regexp_extract(
+        s, f"(?i)<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*name=[\"']{n}[\"']", 1
+    )
+    got = F.when(name_then_content != "", name_then_content).otherwise(
+        F.when(content_then_name != "", content_then_name)
+    )
+    return got
+
+
+def meta_charset(html: Column | str) -> Column:
+    """Declared charset: ``<meta charset=…>`` or the legacy http-equiv
+    Content-Type form — lowercased, NULL when neither is present."""
+    s = _c(html).cast("string")
+    direct = F.regexp_extract(s, "(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_-]+)", 1)
+    legacy = F.regexp_extract(
+        s,
+        "(?i)<meta[^>]*http-equiv=[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)",
+        1,
+    )
+    got = F.when(direct != "", direct).otherwise(F.when(legacy != "", legacy))
+    return F.lower(got)
+
+
+def meta_robots_directives(html: Column | str) -> Column:
+    """The HTML half of the Robots Exclusion Protocol (Google's robots meta
+    spec; RFC 9309 covers only robots.txt): directives from
+    ``<meta name="robots" content="noindex, nofollow">`` as a lowercased,
+    trimmed array — EMPTY array when the tag is absent (absence means all
+    defaults allowed, distinct from NULL html → NULL). Feed ``noindex`` to
+    corpus filtering and ``nofollow`` to link discovery."""
+    content = meta_content(html, "robots")
+    arr = F.filter(
+        F.transform(F.split(F.lower(content), ","), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    return F.when(_c(html).isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.coalesce(arr, F.array().cast("array<string>"))
+    )
+
+
 def canonical_link(html: Column | str) -> Column:
     """``<link rel="canonical" href="…">`` target from an html document —
     NULL when absent. Native (two regexp_extracts coalesced: attribute
