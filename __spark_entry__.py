@@ -708,6 +708,19 @@ def q_anchor_text_agg(spark, sf_dir):
     return anchor_text_rollup(anchors)
 
 
+def q_host_reputation(spark, sf_dir):
+    """IRLbot-style spam-resistant budgets (politeness.reputation_budgets):
+    in-link DIVERSITY (distinct linking hosts, self-loops and duplicate edges
+    never counting) → log-scaled per-host crawl budget, integer-exact."""
+    from web_crawling_prj_spark.operators.politeness import reputation_budgets
+
+    f = _frontier(spark, sf_dir)
+    edges = f.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    )
+    return reputation_budgets(edges, base_budget=40, cap=400)
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-metadata extraction (functions.text.html_title/meta_charset/
     meta_robots_directives): title + declared charset + robots-meta gates per
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,  # CCNet line dedup, value-exact
         "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
         "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
+        "host_reputation": q_host_reputation,  # IRLbot in-link-diversity budgets, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1662,6 +1676,16 @@ SELECT 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) || '?id=' ||
        doc_id % 7 < 2 AS noindex,
        doc_id % 7 < 2 AS nofollow
 FROM u
+""",
+        # diversity = count(DISTINCT src) excluding self-loops;
+        # budget = min(cap, base * bin-length(in_hosts + 1)) — integer math
+        "host_reputation": f"""
+WITH {_FRONTIER_SQL},
+e AS (SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM frontier),
+rep AS (SELECT dst AS node, count(DISTINCT src) AS in_hosts FROM e WHERE src <> dst GROUP BY dst)
+SELECT node, CAST(in_hosts AS BIGINT) AS in_hosts,
+       CAST(least(400, 40 * length(bin(in_hosts + 1))) AS INT) AS max_per_round
+FROM rep
 """,
         "politeness_topk": f"""
 WITH {_FRONTIER_SQL},

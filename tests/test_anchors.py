@@ -82,3 +82,41 @@ def test_rollup_counts_per_target(spark):
         ("https://t.example/a", "the a page"): 1,
         ("https://t.example/b", "b"): 1,
     }
+
+
+def test_discover_links_nofollow_gate(spark):
+    from web_crawling_prj_spark.functions.text import render_html
+    from web_crawling_prj_spark.operators.anchors import discover_links
+
+    u1 = "https://h.example/doc/1?id=1&ref=seed"
+    u2 = "https://h.example/doc/2?id=2&ref=seed"
+    h1 = render_html("page one body", "en", u1).decode()
+    h2 = render_html("page two body", "en", u2).decode() + '<meta name="robots" content="noindex, nofollow">'
+    pages = spark.createDataFrame([(u1, h1), (u2, h2)], "url string, html string")
+    links = discover_links(pages).collect()
+    # page 2 is nofollow → contributes nothing; page 1 → home + about (self dropped)
+    assert {(r.src_url, r.target_url, r.anchor_text) for r in links} == {
+        (u1, "https://h.example/", "home"),
+        (u1, "https://h.example/about", "about"),
+    }
+
+
+def test_reputation_budgets_diversity_not_volume(spark):
+    from web_crawling_prj_spark.operators.politeness import reputation_budgets
+
+    edges = spark.createDataFrame(
+        # dst 1: three distinct srcs (one duplicated — volume must not count);
+        # dst 2: one src; dst 3: self-loop only (never counts)
+        [(2, 1), (2, 1), (3, 1), (4, 1), (5, 2), (3, 3)],
+        "src long, dst long",
+    )
+    got = {r.node: (r.in_hosts, r.max_per_round) for r in reputation_budgets(edges).collect()}
+    assert got == {1: (3, 120), 2: (1, 80)}  # 40*len(bin(4))=120, 40*len(bin(2))=80
+
+
+def test_reputation_budget_cap(spark):
+    from web_crawling_prj_spark.operators.politeness import reputation_budgets
+
+    edges = spark.range(5000).selectExpr("id AS src", "CAST(0 AS LONG) AS dst")
+    row = reputation_budgets(edges, cap=400).first()
+    assert row.in_hosts == 4999 and row.max_per_round == 400

@@ -88,6 +88,31 @@ def is_path_relative(href: Column | str) -> Column:
     )
 
 
+def discover_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Frontier candidates from REAL html: (src_url, target_url, anchor_text).
+
+    The REP-compliant discovery path a non-synthetic crawl plugs into the
+    round loop: pages whose robots META carries ``nofollow`` (or ``none``)
+    contribute NO links at all; hrefs resolve against the source URL;
+    self-loops and fragment-only self references drop. Canonicalization and
+    seen-dedup stay downstream (frontier_from_seeds / anti_join_seen)."""
+    from web_crawling_prj_spark.functions.text import meta_robots_directives
+
+    d = meta_robots_directives(html_col)
+    nofollow = F.coalesce(
+        F.array_contains(d, "nofollow") | F.array_contains(d, "none"), F.lit(False)
+    )
+    followable = pages.where(~nofollow)
+    anchors = extract_anchors(followable, html_col=html_col, url_col=url_col)
+    resolved = anchors.withColumn("target_url", resolve_href("href", "url"))
+    return (
+        resolved.where(F.col("target_url") != F.col("url"))
+        .select(F.col("url").alias("src_url"), "target_url", "anchor_text")
+    )
+
+
 def anchor_text_rollup(
     anchors: DataFrame, target_col: str = "target_url", text_col: str = "anchor_text"
 ) -> DataFrame:

@@ -49,6 +49,38 @@ def host_budgets(robots: DataFrame, round_duration_ms: int, max_per_host: int | 
     )
 
 
+def reputation_budgets(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    base_budget: int = 40,
+    cap: int = 400,
+) -> DataFrame:
+    """Spam-resistant crawl budgets from in-link DIVERSITY (IRLbot, Lee et
+    al. WWW'08: budget a site by how many DISTINCT other sites link to it —
+    volume is cheap for a spam farm to inflate, diversity is expensive).
+
+    budget = min(cap, base · (floor(log2(1 + in_hosts)) + 1)), with the log2
+    computed as the bin-string length of (1 + in_hosts) — pure integer math,
+    so the whole policy is DuckDB-oracle-exact. Self-loops never count.
+    One countDistinct groupBy (two-phase partial agg); the result is one row
+    per host — broadcastable into schedule_round like host_budgets."""
+    s, d = F.col(src), F.col(dst)
+    rep = (
+        edges.where(s != d)
+        .groupBy(d.alias("node"))
+        .agg(F.countDistinct(s).alias("in_hosts"))
+    )
+    budget = F.least(
+        F.lit(cap), F.lit(base_budget) * F.length(F.bin(F.col("in_hosts") + 1))
+    )
+    return rep.select(
+        "node",
+        F.col("in_hosts").cast("long").alias("in_hosts"),
+        budget.cast("int").alias("max_per_round"),
+    )
+
+
 def schedule_round(
     pending: DataFrame,
     budgets: DataFrame,
