@@ -960,6 +960,20 @@ def q_pagerank_hosts(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_opic_hosts(spark, sf_dir):
+    """OPIC importance over the derived host graph (graph.opic, WWW'03):
+    cash/history after 6 distribute-all rounds, dangling cash re-injected
+    uniformly; value-exact vs an unrolled per-round CTE oracle."""
+    from web_crawling_prj_spark.operators.graph import opic
+
+    f = _frontier(spark, sf_dir)
+    edges = f.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    )
+    res = opic(edges, rounds=6)
+    return res.select("node", F.round("importance", 6).alias("importance")).orderBy("node")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC encode→pack→parse round-trip (ISO 28500, the format web-scale
     crawls archive to). documents → one WARC/1.0 resource record per doc
@@ -1365,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
         "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
         "host_reputation": q_host_reputation,  # IRLbot in-link-diversity budgets, value-exact
+        "opic_hosts": q_opic_hosts,  # online page importance (WWW'03), value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1432,6 +1447,41 @@ def _pagerank_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
         f"WITH {_FRONTIER_SQL},\n"
         + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank FROM pr{iterations} ORDER BY node"
+    )
+
+
+def _opic_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled distribute-all OPIC twin of q_opic_hosts: per round every
+    node's cash flows to its outlinks (dangling cash re-injected uniformly)
+    and banks into history; one CTE per round, same edge derivation as
+    pagerank_hosts."""
+    ctes = [
+        "edges AS (SELECT DISTINCT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst "
+        "FROM frontier WHERE (doc_id % 50) <> ((doc_id * 7 + 3) % 50))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "op0 AS (SELECT node, 1.0 / (SELECT n FROM ncnt) AS cash, 0.0 AS history FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"op{i - 1}"
+        ctes.append(
+            f"""op{i} AS (
+  SELECT pv.node,
+         COALESCE(c.in_cash, 0)
+         + (SELECT COALESCE(SUM(p.cash), 0) FROM {prev} p
+            WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = p.node)) / (SELECT n FROM ncnt) AS cash,
+         pv.history + pv.cash AS history
+  FROM {prev} pv
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.cash / d.out_deg) AS in_cash
+             FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON c.node = pv.node
+)"""
+        )
+    return (
+        f"WITH {_FRONTIER_SQL},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round((history + cash) / {rounds + 1}.0, 6) AS importance FROM op{rounds} ORDER BY node"
     )
 
 
@@ -2019,6 +2069,7 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
 """,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
+        "opic_hosts": _opic_oracle_sql(),
         "ann_lsh_md5_topk": r"""
 WITH planes AS (
   SELECT j, list_transform(range(64), i ->

@@ -169,3 +169,48 @@ def test_incremental_components_equals_full_recompute(spark):
     comp = dict(got)
     assert {comp[n] for n in (1, 2, 3, 4, 20, 21)} == {1}
     assert {comp[n] for n in (5, 6, 10, 11)} == {5}
+
+
+# --- OPIC (online page importance) ---
+
+def test_opic_hand_computed_star(spark):
+    """1→2, 3→2 (node 2 dangling): one round by hand.
+    cash0 = 1/3 each; in_cash(2) = 2/3; dangling m = 1/3 redistributed /3;
+    importance = (history + cash) / 2."""
+    from web_crawling_prj_spark.operators.graph import opic
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r.node: r for r in opic(edges, rounds=1).collect()}
+    assert abs(got[1].cash - 1 / 9) < 1e-12 and abs(got[3].cash - 1 / 9) < 1e-12
+    assert abs(got[2].cash - 7 / 9) < 1e-12
+    assert all(abs(got[k].history - 1 / 3) < 1e-12 for k in (1, 2, 3))
+    assert abs(got[2].importance - 5 / 9) < 1e-12
+    assert abs(got[1].importance - 2 / 9) < 1e-12
+
+
+def test_opic_invariants_and_ordering(spark):
+    """Cash total stays 1, history grows by 1/round, importance sums to 1;
+    the heavily-linked hub outranks leaves at every depth."""
+    from web_crawling_prj_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(
+        [(s, 0) for s in range(1, 8)] + [(0, 1), (1, 2), (2, 3)],
+        "src long, dst long",
+    )
+    for rounds in (1, 4, 9):
+        res = opic(edges, rounds=rounds)
+        agg = res.agg(
+            F.sum("cash").alias("c"), F.sum("history").alias("h"), F.sum("importance").alias("i")
+        ).first()
+        assert abs(agg.c - 1.0) < 1e-9
+        assert abs(agg.h - rounds) < 1e-9
+        assert abs(agg.i - 1.0) < 1e-9
+        imp = {r.node: r.importance for r in res.collect()}
+        assert imp[0] == max(imp.values())  # the hub
+
+
+def test_opic_self_loops_and_empty(spark):
+    from web_crawling_prj_spark.operators.graph import opic
+
+    only_self = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert opic(only_self, rounds=2).count() == 0  # self-loops dropped → empty graph
