@@ -960,6 +960,31 @@ def q_pagerank_hosts(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact stratified allocation (sampling.stratified_exact_sample): keep
+    ceil(0.25·n) docs per language stratum, chosen by md5 rank — the SAMPLED
+    SET itself is deterministic, so the oracle checks membership exactly."""
+    from web_crawling_prj_spark.operators.sampling import stratified_exact_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.coalesce("lang", F.lit("und")).alias("lang"))
+    return stratified_exact_sample(d, ["lang"], 0.25, "doc_id")
+
+
+def q_sequence_packing(spark, sf_dir):
+    """LLM-pretraining sequence packing (sampling.pack_sequences): whole docs
+    into (shard, bin) budgets of 512 tokens, sharded md5 assignment + in-shard
+    running-cumsum bins — every column md5-arithmetic, value-exact."""
+    from web_crawling_prj_spark.functions.text import token_count
+    from web_crawling_prj_spark.operators.sampling import pack_sequences
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+    return pack_sequences(d, "n_tokens", "doc_id", max_tokens=512, n_shards=8)
+
+
 def q_opic_hosts(spark, sf_dir):
     """OPIC importance over the derived host graph (graph.opic, WWW'03):
     cash/history after 6 distribute-all rounds, dangling cash re-injected
@@ -1380,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
         "host_reputation": q_host_reputation,  # IRLbot in-link-diversity budgets, value-exact
         "opic_hosts": q_opic_hosts,  # online page importance (WWW'03), value-exact
+        "stratified_sample": q_stratified_sample,  # exact per-stratum allocation, value-exact
+        "sequence_packing": q_sequence_packing,  # LLM doc->bin packing, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -2070,6 +2097,33 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
         "opic_hosts": _opic_oracle_sql(),
+        "stratified_sample": """
+WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
+r AS (SELECT doc_id, lang,
+             count(*) OVER (PARTITION BY lang) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM d)
+SELECT doc_id, lang FROM r WHERE rk <= ceil(n * 0.25)
+""",
+        "sequence_packing": r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, n_tokens,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS INT) AS shard
+      FROM d),
+c AS (SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((cum - n_tokens) / 512.0) AS INT) AS bin,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset_tokens
+FROM c
+""",
         "ann_lsh_md5_topk": r"""
 WITH planes AS (
   SELECT j, list_transform(range(64), i ->
