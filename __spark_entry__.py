@@ -960,6 +960,18 @@ def q_pagerank_hosts(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_link_reciprocity(spark, sf_dir):
+    """Link-farm signal (graph.reciprocity): per-node reciprocal-link ratio
+    over the derived host graph — organic links are mostly one-way."""
+    from web_crawling_prj_spark.operators.graph import reciprocity
+
+    f = _frontier(spark, sf_dir)
+    edges = f.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    )
+    return reciprocity(edges)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact stratified allocation (sampling.stratified_exact_sample): keep
     ceil(0.25·n) docs per language stratum, chosen by md5 rank — the SAMPLED
@@ -1407,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_hosts": q_opic_hosts,  # online page importance (WWW'03), value-exact
         "stratified_sample": q_stratified_sample,  # exact per-stratum allocation, value-exact
         "sequence_packing": q_sequence_packing,  # LLM doc->bin packing, value-exact
+        "link_reciprocity": q_link_reciprocity,  # link-farm signal, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -2097,6 +2110,18 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
         "opic_hosts": _opic_oracle_sql(),
+        "link_reciprocity": f"""
+WITH {_FRONTIER_SQL},
+e AS (SELECT DISTINCT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst
+      FROM frontier WHERE (doc_id % 50) <> ((doc_id * 7 + 3) % 50)),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+rec AS (SELECT a.src, count(*) AS reciprocal
+        FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY a.src)
+SELECT d.src AS node, CAST(d.out_deg AS BIGINT) AS out_deg,
+       CAST(coalesce(r.reciprocal, 0) AS BIGINT) AS reciprocal,
+       round(coalesce(r.reciprocal, 0) / CAST(d.out_deg AS DOUBLE), 6) AS reciprocity
+FROM deg d LEFT JOIN rec r ON r.src = d.src
+""",
         "stratified_sample": """
 WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
 r AS (SELECT doc_id, lang,

@@ -214,3 +214,14 @@ def test_opic_self_loops_and_empty(spark):
 
     only_self = spark.createDataFrame([(1, 1)], "src long, dst long")
     assert opic(only_self, rounds=2).count() == 0  # self-loops dropped → empty graph
+
+
+def test_reciprocity_link_farm_signal(spark):
+    """1↔2 exchange; 1→3 one-way; 3→3 self-loop ignored; duplicates collapse."""
+    from web_crawling_prj_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 1), (1, 3), (3, 3)], "src long, dst long"
+    )
+    got = {r.node: (r.out_deg, r.reciprocal, r.reciprocity) for r in reciprocity(edges).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0)}  # node 3 has no non-self outlinks

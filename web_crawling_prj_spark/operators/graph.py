@@ -137,6 +137,38 @@ def dedup_by_components(
     return docs.join(losers, id_col, "left_anti")
 
 
+def reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node link reciprocity — the classic link-farm signal (TrustRank /
+    anti-spam literature: organic links are mostly one-way; quid-pro-quo
+    link exchanges produce abnormally high reciprocal ratios).
+
+    One self-join of the distinct edge set on the flipped key (both sides
+    hash-partition on the same composite, no broadcast needed), then one
+    groupBy: out_deg, reciprocal count, ratio. Self-loops excluded."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    back = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(back, ["src", "dst"], "left_semi").select("src")
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    recip = marked.groupBy("src").agg(F.count("*").alias("reciprocal"))
+    return (
+        out_deg.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.coalesce("reciprocal", F.lit(0)).cast("long").alias("reciprocal"),
+            F.round(F.coalesce("reciprocal", F.lit(0)) / F.col("out_deg"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
 def opic(
     edges: DataFrame,
     src_col: str = "src",
