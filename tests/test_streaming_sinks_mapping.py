@@ -259,3 +259,33 @@ def test_chunked_range_updates(spark):
     assert [out[i].n_rows for i in (0, 1, 2)] == [3, 3, 1]
     assert out[0].payload[0] == ["0", "sku-0", "0.0"]
     assert out[2].payload == [["6", "sku-6", "9.0"]]
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """Streaming HLL registers (complete mode, bounded <=2^p state) are
+    byte-identical to the batch hll_build over the same data — so streaming
+    micro-batches merge with batch sidecars via hll_merge."""
+    from web_crawling_prj_spark.operators.sketches import hll_build, hll_estimate
+    from web_crawling_prj_spark.streaming.ingest import streaming_hll_registers
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("https://h.example/"), F.col("id")).alias("url_hash")
+    )
+    path = str(tmp_path / "hll_drop")
+    df.write.parquet(path)
+    stream = spark.readStream.schema("url_hash string").parquet(path)
+    q = (
+        streaming_hll_registers(stream, p=10)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT reg, max_rho FROM hll_out").collect()))
+    want = sorted(map(tuple, hll_build(df, "url_hash", p=10).collect()))
+    assert got == want
+    est = hll_estimate(hll_build(df, "url_hash", p=10), p=10)
+    assert abs(est - 3000) / 3000 < 0.17  # p=10 → σ≈3.25%, 5σ

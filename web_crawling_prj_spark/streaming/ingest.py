@@ -94,6 +94,23 @@ def host_rate_stats(
     )
 
 
+def streaming_hll_registers(
+    discoveries: DataFrame, key_col: str = "url_hash", p: int = 12
+) -> DataFrame:
+    """Cumulative distinct-URL sketch over an unbounded stream with BOUNDED
+    state: ≤ 2^p HLL register rows. Registers are monotone maxes, so the
+    streaming aggregate's state never grows past the register table — unlike
+    exact streaming ``dropDuplicates`` whose state is O(distinct keys) and
+    needs watermark eviction. The register stream is the SAME relational
+    sketch as the batch ``sketches.hll_build`` (md5-hex hash, bin-length
+    rho), so a micro-batch's output merges with batch sidecars via
+    ``hll_merge`` and reads via ``hll_estimate``."""
+    from web_crawling_prj_spark.operators.sketches import _hll_rows
+
+    reg, rho = _hll_rows(F.col(key_col), p)
+    return discoveries.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("max_rho"))
+
+
 def host_sessions(discoveries: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Streaming sessionization: session_window groups a host's discovery
     burst into one session row (complement of the batch operator
