@@ -521,6 +521,10 @@ HEADLINE = [
     "embedding_topk",
     "minhash_neardups",
     "crawl_rounds",
+    # round-5 additions (new timing series — absent from earlier BENCH_r{N})
+    "dup_ngram_spans",
+    "boilerplate_removal",
+    "sequence_packing",
 ]
 
 

@@ -84,3 +84,77 @@ def test_registrable_domain(spark, host, want):
 
     df = spark.createDataFrame([(host,)], "h string")
     assert df.select(registrable_domain("h").alias("d")).first()["d"] == want
+
+
+# --- native canonical fast-path ---
+
+_ADVERSARIAL_URLS = [
+    "HTTPS://A.example/x",                # uppercase scheme+host
+    "https://a.example:443/x",            # default port
+    "https://a.example",                  # empty path (canon adds /)
+    "https://a.example/a/../b",           # dot segments
+    "https://a.example/%2e%2e/x",         # percent-encoded dot segments
+    "https://a.example/x?b=1&a=2",        # unsorted query
+    "https://a.example/x?a1=5&a=3",       # string-sort trap: tuple order differs
+    "https://a.example/x?a=3&a1=5",       # tuple-sorted (identity) version of the trap
+    "https://a.example/x#f",              # fragment
+    "https://a.example./x",               # trailing-dot host
+    "https://user@a.example/x",           # userinfo
+    "https://a.example/x?a=%41",          # percent-escape (unreserved: decodes)
+    "https://a.example/x?a=&a",           # has_eq tie, canon-stable order first
+    "https://a.example/x?a&a=",           # has_eq tie, sorted order
+    " https://a.example/x",               # leading whitespace
+    "https://a.example/x?",               # empty query
+    "https://a.example/x?a=1&&b=2",       # stray &&
+    "https://a.example/doc/5?id=5&ref=seed",  # the canonical common shape
+    "https://a.example/UPPER/Path?x=Y",   # uppercase path/values are canonical
+]
+
+
+def test_fast_predicate_never_wrong(spark):
+    """THE safety law: is_canonical_fast ⟹ canonicalize_url(url) == url.
+    (False negatives are allowed — they just take the slow path.)"""
+    from web_crawling_prj_spark.functions.urls import canonicalize_url, is_canonical_fast
+
+    df = spark.createDataFrame([(u,) for u in _ADVERSARIAL_URLS], "url string")
+    rows = df.withColumn("fast", is_canonical_fast("url")).collect()
+    for r in rows:
+        if r.fast:
+            assert canonicalize_url(r.url) == r.url, f"fast-path lied for {r.url!r}"
+    # and it actually fires on the common canonical shapes
+    fast_set = {r.url for r in rows if r.fast}
+    assert "https://a.example/doc/5?id=5&ref=seed" in fast_set
+    assert "https://a.example/x?a=3&a1=5" in fast_set
+    assert "https://a.example/UPPER/Path?x=Y" in fast_set
+    # and rejects every transforming case
+    assert "https://a.example/x?a1=5&a=3" not in fast_set
+    assert "HTTPS://A.example/x" not in fast_set
+
+
+def test_hybrid_equals_pure_udf(spark, sf_dir):
+    """Routing equality on adversarial cases AND the full synthetic page-store
+    url mix (canonical + messy aliases), plus full fast coverage on the
+    canonical synthetic urls."""
+    from web_crawling_prj_spark.functions.urls import (
+        canonicalize_url_udf,
+        canonicalize_urls_hybrid,
+        is_canonical_fast,
+    )
+    from web_crawling_prj_spark.sources.pages_gen import pages_df
+
+    adv = spark.createDataFrame([(u,) for u in _ADVERSARIAL_URLS], "url string")
+    pages = pages_df(spark, sf_dir, with_html=False).select("url")
+    for df in (adv, pages):
+        want = {
+            (r.url, r.c)
+            for r in df.withColumn("c", canonicalize_url_udf("url")).collect()
+        }
+        got = {
+            (r.url, r.url_canon)
+            for r in canonicalize_urls_hybrid(df, "url").collect()
+        }
+        assert got == want
+    # every canonical synthetic url takes the fast path; every alias doesn't
+    flagged = pages.withColumn("f", is_canonical_fast("url")).collect()
+    for r in flagged:
+        assert r.f == r.url.startswith("https://"), r.url

@@ -51,7 +51,15 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = {a for a in sys.argv[1:] if "/" not in a}
+    # accept space- or comma-separated names; ignore a bare "--only" flag so
+    # both `check_oracle.py a b` and `check_oracle.py --only a,b` select {a,b}
+    only = {
+        n
+        for a in sys.argv[1:]
+        if "/" not in a and a != "--only"
+        for n in a.split(",")
+        if n
+    }
 
     import __spark_entry__ as entrymod
     from web_crawling_prj_spark.session import get_spark
@@ -62,6 +70,10 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # a typo must be loud, not a vacuous "0 failures"
+        print(f"ERROR: unknown query names: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

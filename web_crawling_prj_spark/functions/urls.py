@@ -120,6 +120,77 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url, na_action="ignore")
 
 
+#: conservative already-canonical shape: lowercase scheme + bare lowercase
+#: reg-name host (no userinfo/port/trailing dot/IPv6), mandatory path, no
+#: percent-escapes anywhere, non-empty query if '?' present, no fragment,
+#: no whitespace. Anything outside this shape routes to the Python authority.
+_CANON_FAST_RE = (
+    r"^[a-z][a-z0-9+.\-]*://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[^?#%\s]*(\?[^#%\s]+)?$"
+)
+
+
+def is_canonical_fast(url: Column | str) -> Column:
+    """TRUE only when ``canonicalize_url(url) == url`` is PROVABLE natively —
+    the codegen fast-path predicate that routes the overwhelmingly-common
+    already-canonical URL around the Arrow canonicalizer UDF (the only
+    Python in the ingest hot path). Never true for a URL the Python
+    canonicalizer would change; false negatives are merely slow, so every
+    check is conservative.
+
+    Checks: the shape regex above; no dot-segments in the path; and — the
+    subtle one — the query already sorted the way the canonicalizer sorts:
+    by (key, value) TUPLE, which differs from sorting the raw ``k=v`` string
+    whenever a key contains a character ordered before ``=`` (digits,
+    ``-``…), so the check sorts an array of (k, v, has_eq) structs and
+    rebuilds. A query sorted by (k, v, has_eq) stays fixed under the
+    canonicalizer's STABLE (k, v) sort, so rebuilt == query ⟹ identity."""
+    u = F.col(url) if isinstance(url, str) else url
+    shape = u.rlike(_CANON_FAST_RE)
+    path = F.regexp_extract(u, r"^[a-z0-9+.\-]+://[^/]+([^?#]*)", 1)
+    no_dots = ~path.rlike(r"(^|/)\.{1,2}(/|$)")
+    query = F.regexp_extract(u, r"\?([^#]*)$", 1)
+    no_stray_amp = ~query.rlike(r"(^&)|(&&)|(&$)")
+    kv = F.transform(
+        F.split(query, "&"),
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("k"),
+            F.when(
+                p.contains("="), p.substr(F.instr(p, "=") + 1, F.length(p))
+            ).otherwise(F.lit("")).alias("v"),
+            p.contains("=").alias("has_eq"),
+        ),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(kv),
+            lambda x: F.when(
+                x["has_eq"], F.concat(x["k"], F.lit("="), x["v"])
+            ).otherwise(x["k"]),
+        ),
+        "&",
+    )
+    query_sorted = (query == "") | (no_stray_amp & (rebuilt == query))
+    return shape & no_dots & query_sorted
+
+
+def canonicalize_urls_hybrid(
+    df: "DataFrame", url_col: str, out_col: str = "url_canon"
+) -> "DataFrame":
+    """Hybrid canonicalization: provably-canonical rows pass through natively,
+    the rest go to the Arrow UDF — then union. NOTE the routing must be a
+    filtered UNION, not ``when(fast, url).otherwise(udf(url))``: Spark pulls
+    Python UDFs out of conditional expressions into an ArrowEvalPython node
+    evaluated for EVERY row, so the CASE form saves nothing. Same routing
+    shape as the bloom/cuckoo filter tiers; equality with the pure-UDF path
+    is property-tested (fast-path is conservative, never divergent)."""
+    flagged = df.withColumn("_fast", is_canonical_fast(url_col))
+    fast = flagged.where(F.col("_fast")).withColumn(out_col, F.col(url_col))
+    slow = flagged.where(~F.coalesce(F.col("_fast"), F.lit(False))).withColumn(
+        out_col, canonicalize_url_udf(url_col)
+    )
+    return fast.unionByName(slow).drop("_fast")
+
+
 def host_of(url: Column | str) -> Column:
     """Native host extraction (stays in codegen): lowercased authority host."""
     c = F.col(url) if isinstance(url, str) else url

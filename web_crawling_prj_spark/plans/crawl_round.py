@@ -199,9 +199,17 @@ def crawl_store(root: str, cfg: CrawlConfig | None = None) -> StateStore:
 
 
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
-    """Seeds → frontier rows: canonicalize, hash, dedup within batch."""
+    """Seeds → frontier rows: canonicalize, hash, dedup within batch.
+
+    Canonicalization is HYBRID (functions.urls.canonicalize_urls_hybrid):
+    provably-already-canonical URLs — the steady-state majority, since
+    discovered links come out of OUR extractor against canonical base URLs —
+    bypass the Arrow UDF through a codegen predicate; equality with the pure
+    UDF path is property-tested."""
+    from web_crawling_prj_spark.functions.urls import canonicalize_urls_hybrid
+
     f = (
-        seeds.withColumn("url_canon", canonicalize_url_udf("url"))
+        canonicalize_urls_hybrid(seeds, "url", "url_canon")
         .withColumn("url_hash", url_hash("url_canon"))
         .withColumn("host", host_of("url_canon"))
         .withColumns(
