@@ -972,6 +972,39 @@ def q_link_reciprocity(spark, sf_dir):
     return reciprocity(edges)
 
 
+def q_tracking_strip(spark, sf_dir):
+    """Tracking-param stripping (urls.strip_tracking_params): frontier urls
+    augmented with utm_/gclid-style click ids collapse back to their clean
+    form; non-tracking params and order preserved."""
+    from web_crawling_prj_spark.functions.urls import strip_tracking_params
+
+    f = _frontier(spark, sf_dir)
+    messy = f.select(
+        F.concat(
+            F.col("url"),
+            F.lit("&utm_source=feed&gclid=g"),
+            F.col("doc_id").cast("string"),
+            F.lit("&page=2"),
+        ).alias("url")
+    )
+    return messy.select("url", strip_tracking_params("url").alias("url_stripped"))
+
+
+def q_hits_hosts(spark, sf_dir):
+    """HITS hubs/authorities over the derived host graph (graph.hits,
+    Kleinberg JACM'99; L1-normalized half-steps keep the math SQL-exact)."""
+    from web_crawling_prj_spark.operators.graph import hits
+
+    f = _frontier(spark, sf_dir)
+    edges = f.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    )
+    res = hits(edges, iterations=6)
+    return res.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    ).orderBy("node")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact stratified allocation (sampling.stratified_exact_sample): keep
     ceil(0.25·n) docs per language stratum, chosen by md5 rank — the SAMPLED
@@ -1420,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,  # exact per-stratum allocation, value-exact
         "sequence_packing": q_sequence_packing,  # LLM doc->bin packing, value-exact
         "link_reciprocity": q_link_reciprocity,  # link-farm signal, value-exact
+        "hits_hosts": q_hits_hosts,  # Kleinberg hubs/authorities, value-exact
+        "tracking_strip": q_tracking_strip,  # utm/gclid param stripping, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -1522,6 +1557,51 @@ def _opic_oracle_sql(rounds: int = 6) -> str:
         f"WITH {_FRONTIER_SQL},\n"
         + ",\n".join(ctes)
         + f"\nSELECT node, round((history + cash) / {rounds + 1}.0, 6) AS importance FROM op{rounds} ORDER BY node"
+    )
+
+
+def _hits_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled HITS twin of q_hits_hosts: per iteration one authority
+    half-step (sum of incoming hubs, L1-normalized) then one hub half-step
+    (sum of outgoing authorities, L1-normalized)."""
+    # MATERIALIZED: DuckDB inlines CTEs by default, so every ar/hr reference
+    # would re-scan the parquet-backed view — 2 refs/iteration exhausts the
+    # sandbox's open-file limit. Materializing edges/nodes scans once.
+    ctes = [
+        "edges AS MATERIALIZED (SELECT DISTINCT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst "
+        "FROM frontier WHERE (doc_id % 50) <> ((doc_id * 7 + 3) % 50))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / (SELECT n FROM ncnt) AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ph, pa = f"h{i - 1}", f"a{i}"
+        # every iteration CTE MATERIALIZED: inlining would re-evaluate each
+        # level twice (normalizer subquery + join), i.e. 2^iterations blowup
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(p.hub) AS a
+  FROM edges e JOIN {ph} p ON p.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (SELECT nd.node,
+  COALESCE(r.a, 0) / (SELECT COALESCE(SUM(a), 1) FROM ar{i}) AS authority
+  FROM nodes nd LEFT JOIN ar{i} r ON r.node = nd.node)"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (SELECT e.src AS node, SUM(p.authority) AS h
+  FROM edges e JOIN {pa} p ON p.node = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (SELECT nd.node,
+  COALESCE(r.h, 0) / (SELECT COALESCE(SUM(h), 1) FROM hr{i}) AS hub
+  FROM nodes nd LEFT JOIN hr{i} r ON r.node = nd.node)"""
+        )
+    return (
+        f"WITH {_FRONTIER_SQL},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.node, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node ORDER BY h.node"""
     )
 
 
@@ -2110,6 +2190,15 @@ SELECT * FROM pairs UNION ALL SELECT * FROM intra
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "pagerank_hosts": _pagerank_oracle_sql(),
         "opic_hosts": _opic_oracle_sql(),
+        "hits_hosts": _hits_oracle_sql(),
+        # the oracle derives the EXPECTED stripped url structurally (base url
+        # + the one non-tracking param) — it never reimplements the stripper
+        "tracking_strip": f"""
+WITH {_FRONTIER_SQL}
+SELECT url || '&utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR) || '&page=2' AS url,
+       url || '&page=2' AS url_stripped
+FROM frontier
+""",
         "link_reciprocity": f"""
 WITH {_FRONTIER_SQL},
 e AS (SELECT DISTINCT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst

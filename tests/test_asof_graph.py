@@ -225,3 +225,19 @@ def test_reciprocity_link_farm_signal(spark):
     )
     got = {r.node: (r.out_deg, r.reciprocal, r.reciprocity) for r in reciprocity(edges).collect()}
     assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0)}  # node 3 has no non-self outlinks
+
+
+def test_hits_hand_computed(spark):
+    """1→2, 3→2, 1→4, two iterations by hand (L1 normalization):
+    after iter2: auth(2)=0.625 auth(4)=0.375; hub(1)=8/13, hub(3)=5/13."""
+    from web_crawling_prj_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2), (3, 2), (1, 4)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iterations=2).collect()}
+    assert abs(got[2][1] - 0.625) < 1e-12 and abs(got[4][1] - 0.375) < 1e-12
+    assert abs(got[1][0] - 8 / 13) < 1e-12 and abs(got[3][0] - 5 / 13) < 1e-12
+    assert got[2][0] == 0.0 and got[4][0] == 0.0  # no outlinks → hub 0
+    assert got[1][1] == 0.0 and got[3][1] == 0.0  # no inlinks → authority 0
+    # L1 invariants
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9

@@ -158,3 +158,23 @@ def test_hybrid_equals_pure_udf(spark, sf_dir):
     flagged = pages.withColumn("f", is_canonical_fast("url")).collect()
     for r in flagged:
         assert r.f == r.url.startswith("https://"), r.url
+
+
+def test_strip_tracking_params(spark):
+    from web_crawling_prj_spark.functions.urls import strip_tracking_params
+
+    cases = [
+        ("https://a.example/x?utm_source=nl&id=5&utm_campaign=q3", "https://a.example/x?id=5"),
+        ("https://a.example/x?UTM_SOURCE=nl", "https://a.example/x"),  # case-insensitive
+        ("https://a.example/x?gclid=abc&fbclid=def", "https://a.example/x"),
+        ("https://a.example/x?id=5", "https://a.example/x?id=5"),  # untouched
+        ("https://a.example/x", "https://a.example/x"),  # no query
+        ("https://a.example/x?utm_x=1&a=2#frag", "https://a.example/x?a=2#frag"),
+        ("https://a.example/x?utmost=1", "https://a.example/x?utmost=1"),  # not utm_*
+        ("https://a.example/x?b=2&mc_eid=7&a=1", "https://a.example/x?b=2&a=1"),  # order kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string").withColumn(
+        "s", strip_tracking_params("url")
+    )
+    got = {r.url: r.s for r in df.collect()}
+    assert got == dict(cases)

@@ -191,6 +191,38 @@ def canonicalize_urls_hybrid(
     return fast.unionByName(slow).drop("_fast")
 
 
+#: advertising/analytics click-identifier params (public, vendor-documented):
+#: Google Analytics utm_*, Google Ads gclid, Facebook fbclid, Microsoft
+#: msclkid, Mailchimp mc_cid/mc_eid, Instagram igshid, Yandex yclid,
+#: HubSpot _hsenc/_hsmi. Stripping them is standard crawl canonicalization —
+#: they mint unbounded aliases of one page.
+_TRACKING_KEY_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|_hsenc|_hsmi)$"
+
+
+def strip_tracking_params(url: Column | str) -> Column:
+    """Remove tracking query params (case-insensitive key match) — fully
+    native; keeps every other param in original order, drops the ``?`` when
+    nothing survives, preserves any fragment. Apply BEFORE canonicalization
+    so the sorted-query canon keys on the cleaned param set."""
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    frag = F.regexp_extract(u, r"(#.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~F.lower(F.substring_index(p, "=", 1)).rlike(_TRACKING_KEY_RE),
+    )
+    rebuilt = F.concat(
+        base,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+        frag,
+    )
+    return F.when(query == "", u).otherwise(rebuilt)
+
+
 def host_of(url: Column | str) -> Column:
     """Native host extraction (stays in codegen): lowercased authority host."""
     c = F.col(url) if isinstance(url, str) else url

@@ -137,6 +137,77 @@ def dedup_by_components(
     return docs.join(losers, id_col, "left_anti")
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the third importance
+    measure next to :func:`pagerank` (converged, damped) and :func:`opic`
+    (online): a good HUB links to good authorities, a good AUTHORITY is
+    linked from good hubs. L1 normalization each half-step (sum = 1) keeps
+    the arithmetic SQL-reproducible (no sqrt). Per iteration: two
+    edges-joins + two groupBys — same shuffle shape class as pagerank.
+
+    Returns (node, hub, authority); nodes with no in-links have authority 0,
+    no out-links → hub 0."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority"))
+    hubs = nodes.withColumn("hub", F.lit(1.0 / n))
+    auths = None
+    cached = []
+    for i in range(iterations):
+        hubs = hubs.persist()
+        cached.append(hubs)
+        raw_auth = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        total_a = raw_auth.agg(F.sum("a")).first()[0] or 1.0
+        auths = nodes.join(raw_auth, "node", "left").select(
+            "node", (F.coalesce("a", F.lit(0.0)) / total_a).alias("authority")
+        ).persist()
+        cached.append(auths)
+        raw_hub = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h"))
+        )
+        total_h = raw_hub.agg(F.sum("h")).first()[0] or 1.0
+        hubs = nodes.join(raw_hub, "node", "left").select(
+            "node", (F.coalesce("h", F.lit(0.0)) / total_h).alias("hub")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+            for c in cached:
+                c.unpersist()
+            cached = []
+    out = nodes.join(hubs, "node", "left").join(auths, "node", "left").select(
+        "node",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+    ).localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def reciprocity(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
