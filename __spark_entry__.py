@@ -972,6 +972,44 @@ def q_link_reciprocity(spark, sf_dir):
     return reciprocity(edges)
 
 
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection (functions.text.soft404_flag, Bar-Yossef WWW'04):
+    every 11th doc's fetch body is replaced by an error-page template served
+    with HTTP 200; the flag must catch exactly those (long real docs that
+    merely mention the phrases stay clean)."""
+    from web_crawling_prj_spark.functions.text import soft404_flag
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("Page Not Found - the page you requested does not exist"),
+    ).otherwise(F.col("text"))
+    fetched = d.select("doc_id", body.alias("text"), F.lit(200).alias("http_code"))
+    return fetched.select(
+        "doc_id", soft404_flag("text", "http_code").alias("is_soft404")
+    )
+
+
+def q_frontier_age(spark, sf_dir):
+    """Ops monitoring: per-host pending backlog age + starvation flag —
+    oldest pending URL older than 3 days while the backlog exceeds one
+    round's budget means the politeness budget can never catch up."""
+    pending = anti_join_seen(_frontier(spark, sf_dir), _seen(spark, sf_dir), key="url")
+    disc = F.to_timestamp(F.lit("2025-06-01 00:00:00")) + F.make_interval(
+        mins=F.col("doc_id") % 10000
+    )
+    now = F.to_timestamp(F.lit("2025-06-08 00:00:00"))
+    aged = pending.select(
+        "host", ((now.cast("long") - disc.cast("long")) / 60).cast("long").alias("age_min")
+    )
+    return aged.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pending"),
+        F.max("age_min").alias("oldest_age_min"),
+    ).withColumn(
+        "starving", (F.col("oldest_age_min") > 3 * 24 * 60) & (F.col("n_pending") > 25)
+    )
+
+
 def q_tracking_strip(spark, sf_dir):
     """Tracking-param stripping (urls.strip_tracking_params): frontier urls
     augmented with utm_/gclid-style click ids collapse back to their clean
@@ -1455,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,  # link-farm signal, value-exact
         "hits_hosts": q_hits_hosts,  # Kleinberg hubs/authorities, value-exact
         "tracking_strip": q_tracking_strip,  # utm/gclid param stripping, value-exact
+        "soft404_detect": q_soft404_detect,  # error-pages-behind-200, value-exact
+        "frontier_age": q_frontier_age,  # backlog age + starvation flag, value-exact
         # past the 50-entry window: rows-only queries whose substance is
         # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
@@ -2198,6 +2238,32 @@ WITH {_FRONTIER_SQL}
 SELECT url || '&utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR) || '&page=2' AS url,
        url || '&page=2' AS url_stripped
 FROM frontier
+""",
+        # mirror of soft404_flag: phrase regexp AND short body AND code 200
+        "soft404_detect": r"""
+WITH fetched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'Page Not Found - the page you requested does not exist'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       coalesce(regexp_matches(text, '(?i)\b(page not found|404 not found|no longer available|does not exist|page you requested|nothing was found)\b'), false)
+       AND coalesce((CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) <= 60, false)
+       AS is_soft404
+FROM fetched
+""",
+        "frontier_age": f"""
+WITH {_FRONTIER_SQL},
+pending AS (SELECT f.* FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)),
+aged AS (SELECT host,
+                CAST((epoch(TIMESTAMP '2025-06-08 00:00:00')
+                      - epoch(TIMESTAMP '2025-06-01 00:00:00' + to_minutes(doc_id % 10000))) // 60 AS BIGINT) AS age_min
+         FROM pending)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pending, max(age_min) AS oldest_age_min,
+       max(age_min) > 4320 AND count(*) > 25 AS starving
+FROM aged GROUP BY host
 """,
         "link_reciprocity": f"""
 WITH {_FRONTIER_SQL},

@@ -85,3 +85,21 @@ def test_robots_directives_parse_absent_and_null(spark):
         meta_robots_directives("html").alias("d")
     ).first()
     assert null_row.d is None
+
+
+def test_soft404_flag(spark):
+    from web_crawling_prj_spark.functions.text import soft404_flag
+
+    rows = [
+        (1, "Page Not Found — the page you requested does not exist.", 200, True),
+        (2, "perfectly normal article " * 5, 200, False),
+        (3, "page not found", 404, False),  # real 404 is not a SOFT 404
+        (4, "a very long editorial about how 'page not found' errors feel "
+            + "word " * 100, 200, False),  # long body → real content
+        (5, None, 200, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, c) for i, t, c, _ in rows], "doc_id long, text string, http_code int"
+    ).withColumn("flag", soft404_flag("text", "http_code"))
+    got = {r.doc_id: r.flag for r in df.collect()}
+    assert got == {i: want for i, _, _, want in rows}

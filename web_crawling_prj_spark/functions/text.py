@@ -246,6 +246,28 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
     return F.element_at(F.transform(F.array(norm), _fps), 1)
 
 
+#: phrases that mark an error page served with HTTP 200 (soft 404 — studied
+#: in Bar-Yossef et al., "Sic transit gloria telae", WWW 2004). Conservative
+#: core set; real deployments learn site-specific templates on top.
+_SOFT404_RE = (
+    r"(?i)\b(page not found|404 not found|no longer available|"
+    r"does not exist|page you requested|nothing was found)\b"
+)
+
+
+def soft404_flag(
+    text: Column | str, http_code: Column | str, max_tokens: int = 60
+) -> Column:
+    """TRUE for pages that return 200 but whose CONTENT is an error page:
+    a not-found phrase AND a short body (real articles mentioning the phrase
+    are long). NULL text → false. Native regexp + token count."""
+    t = _c(text)
+    code = F.col(http_code) if isinstance(http_code, str) else http_code
+    hit = F.coalesce(t.rlike(_SOFT404_RE), F.lit(False))
+    short = F.coalesce(token_count(t) <= max_tokens, F.lit(False))
+    return (code == 200) & hit & short
+
+
 def html_title(html: Column | str) -> Column:
     """``<title>…</title>`` text — entity-unescaped, inner whitespace
     squashed; NULL when the document has no title element. Native."""
