@@ -106,6 +106,9 @@ def test_canonical_link_extraction(spark):
         ("<head><link rel='canonical' href='https://x/3'/></head>", "https://x/3"),
         ('<head><link rel="stylesheet" href="https://x/css"/></head>', None),
         ("<head></head>", None),
+        # HTML is case-insensitive: uppercase tag/attr forms still match
+        ('<head><LINK REL="Canonical" HREF="https://x/4"/></head>', "https://x/4"),
+        ("<head><link HREF='https://x/5' Rel='CANONICAL'/></head>", "https://x/5"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
     got = [r["c"] for r in df.select(canonical_link("html").alias("c")).collect()]

@@ -172,6 +172,10 @@ def test_strip_tracking_params(spark):
         ("https://a.example/x?utm_x=1&a=2#frag", "https://a.example/x?a=2#frag"),
         ("https://a.example/x?utmost=1", "https://a.example/x?utmost=1"),  # not utm_*
         ("https://a.example/x?b=2&mc_eid=7&a=1", "https://a.example/x?b=2&a=1"),  # order kept
+        # '?' inside the fragment is NOT a query (SPA hash routes) — untouched
+        ("https://a.example/app#/search?q=x", "https://a.example/app#/search?q=x"),
+        # real query + fragment that itself contains '?': only the query is cleaned
+        ("https://a.example/x?utm_x=1&a=2#/r?utm_y=2", "https://a.example/x?a=2#/r?utm_y=2"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string").withColumn(
         "s", strip_tracking_params("url")

@@ -337,10 +337,10 @@ def canonical_link(html: Column | str) -> Column:
     """
     s = _c(html).cast("string")
     rel_then_href = F.regexp_extract(
-        s, "<link[^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']", 1
+        s, "(?i)<link[^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']", 1
     )
     href_then_rel = F.regexp_extract(
-        s, "<link[^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']", 1
+        s, "(?i)<link[^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']", 1
     )
     got = F.when(rel_then_href != "", rel_then_href).otherwise(
         F.when(href_then_rel != "", href_then_rel)

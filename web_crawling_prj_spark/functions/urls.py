@@ -206,7 +206,9 @@ def strip_tracking_params(url: Column | str) -> Column:
     so the sorted-query canon keys on the cleaned param set."""
     u = F.col(url) if isinstance(url, str) else url
     base = F.regexp_extract(u, r"^([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # Anchor the query BEFORE any '#': a '?' inside the fragment (SPA hash
+    # routes like /app#/search?q=x) is fragment text, not a query.
+    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
     frag = F.regexp_extract(u, r"(#.*)$", 1)
     kept = F.filter(
         F.split(query, "&"),

@@ -67,10 +67,14 @@ def recrawl_schedule(
     )
 
 
-def due_for_refetch(scheduled: DataFrame, key: str, ts: str, now) -> DataFrame:
+def due_for_refetch(
+    scheduled: DataFrame, key: str, ts: str, now, tiebreak: str | None = None
+) -> DataFrame:
     """Latest schedule row per key, filtered to pages whose ``next_fetch_ts``
-    has passed — the recrawl candidate set a round unions into its frontier
-    (ts + key ordering keeps the pick deterministic)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    has passed — the recrawl candidate set a round unions into its frontier.
+    Pass the same ``tiebreak`` column ``recrawl_schedule`` used so the pick is
+    deterministic even when two history rows share a ``ts``."""
+    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
     latest = scheduled.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     return latest.where(F.col("next_fetch_ts") <= F.lit(now).cast("timestamp")).drop("_rn")

@@ -1108,7 +1108,9 @@ def refresh_mode_frontier(
         base_interval_h=base_interval_h,
         max_doublings=max_doublings,
     )
-    due = due_for_refetch(sched, key="url_hash", ts="fetched_ts", now=now_ts)
+    due = due_for_refetch(
+        sched, key="url_hash", ts="fetched_ts", now=now_ts, tiebreak="attempt"
+    )
     return due.select(
         F.col("url_canon").alias("url"),
         "url_canon",

@@ -87,8 +87,10 @@ def http_response_payload(html: Column, http_code: Column | None = None) -> Colu
     The envelope's Content-Length is the BODY's UTF-8 byte length."""
     code = F.lit(200) if http_code is None else F.coalesce(http_code, F.lit(200))
     return F.concat(
+        # RFC 7230 status-line: "HTTP-version SP status-code SP reason-phrase"
+        # — the SP after the code is mandatory even with an empty phrase.
         F.lit("HTTP/1.1 "), code.cast("string"),
-        F.when(code == 200, F.lit(" OK")).otherwise(F.lit("")), F.lit(CRLF),
+        F.when(code == 200, F.lit(" OK")).otherwise(F.lit(" ")), F.lit(CRLF),
         F.lit("Content-Type: text/html; charset=utf-8" + CRLF),
         F.lit("Content-Length: "),
         F.length(F.encode(html, "UTF-8")).cast("string"), F.lit(CRLF),
