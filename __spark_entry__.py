@@ -1407,31 +1407,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROUND-6 WINDOW ROTATION (VERDICT r5 'next' #1): the driver certifies the
+    # FIRST 50 entries. Rounds 1–5 re-certified the same 49 long-stable rows
+    # while 27 newer oracle-backed queries (WARC / RFC robots / sitemaps /
+    # recrawl / redirects / eTLD+1 / canonical / cuckoo / span-dedup / HLL /
+    # OPIC / HITS / reputation / sampling / packing / …) only had local
+    # check_oracle runs for their record. This round the window holds 22
+    # structurally-distinct long-certified rows + the rows-only flagship
+    # crawl_rounds + all 27 previously-past-window oracle queries, so every
+    # round-5 operator family gets a durable driver certification. The 29
+    # rotated-out queries remain registered (past the window) and stay covered
+    # by tools/check_oracle.py runs + their value-asserting goldens.
     return {
-        "frontier_dedup": q_frontier_dedup,
-        "politeness_topk": q_politeness_topk,
+        # — 22 keepers: one per structural family, certified green r1–r5 —
+        "frontier_dedup": q_frontier_dedup,  # anti-join frontier∖seen (bloom tier)
+        "politeness_topk": q_politeness_topk,  # salted two-level per-host rank
+        "frontier_batches": q_frontier_batches,  # batch slicing
+        "robots_gate": q_robots_gate,  # NOT LIKE predicate gate
+        "host_freq_cms": q_host_freq_cms,  # count-min sketch
+        "error_classification": q_error_classification,  # parity table
+        "retry_backoff": q_retry_backoff,  # budgets + per-class backoff
+        "pricing_summary": q_pricing_summary,  # TPC-H-style wide agg
+        "top_order_per_cust": q_top_order_per_cust,  # window top-1
+        "lag_purchase_delta": q_lag_purchase_delta,  # LAG
+        "customers_no_orders": q_customers_no_orders,  # relational anti-join
+        "revenue_by_nation": q_revenue_by_nation,  # multi-join agg
+        "halfyear_recon": q_halfyear_recon,  # full outer join
+        "semi_join_bigorders": q_semi_join_bigorders,  # semi-join via IN
+        "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
+        "scd2_rebuild": q_scd2_rebuild,  # SCD2 merge + latest flags
+        "url_param_parse": q_url_param_parse,  # F4 query→map
+        "md5_business_key": q_md5_business_key,  # F1 row hash
+        "json_props_extract": q_json_props_extract,  # F12 JSON path
+        "asof_purchase_before_error": q_asof_purchase_before_error,  # as-of join
+        "sessionize_events": q_sessionize_events,  # sessionization
+        "run_summary": q_run_summary,  # crawl run metrics
+        # — rows-only integration flagship, pinned in-window —
+        "crawl_rounds": q_crawl_rounds,
+        # — 27 round-5 operator families, in-window for the first time —
+        "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
+        "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
+        "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
+        "robots_sitemaps": q_robots_sitemaps,  # Sitemap: record discovery, value-exact
+        "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
+        "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
+        "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
+        "domain_rollup": q_domain_rollup,  # eTLD+1 registrable-domain rollup, value-exact
+        "canonical_groups": q_canonical_groups,  # rel=canonical consolidation, value-exact
+        "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,  # deletable filter tier, value-exact
+        "dup_ngram_spans": q_dup_ngram_spans,  # exact substring-dedup spans, value-exact
+        "boilerplate_removal": q_boilerplate_removal,  # CCNet line dedup, value-exact
+        "trap_templates": q_trap_templates,  # URL-template explosion detection, value-exact
+        "url_hll_registers": q_url_hll_registers,  # relational HyperLogLog, value-exact
+        "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
+        "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
+        "host_reputation": q_host_reputation,  # IRLbot in-link-diversity budgets, value-exact
+        "opic_hosts": q_opic_hosts,  # online page importance (WWW'03), value-exact
+        "hits_hosts": q_hits_hosts,  # Kleinberg hubs/authorities, value-exact
+        "link_reciprocity": q_link_reciprocity,  # link-farm signal, value-exact
+        "stratified_sample": q_stratified_sample,  # exact per-stratum allocation, value-exact
+        "sequence_packing": q_sequence_packing,  # LLM doc->bin packing, value-exact
+        "tracking_strip": q_tracking_strip,  # utm/gclid param stripping, value-exact
+        "soft404_detect": q_soft404_detect,  # error-pages-behind-200, value-exact
+        "frontier_age": q_frontier_age,  # backlog age + starvation flag, value-exact
+        "order_value_deciles": q_order_value_deciles,  # exact decile allocation, value-exact
+        "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
+        # ——— past the 50-entry window from here: all still oracle-backed ———
+        # (certified green in CORRECTNESS_r01–r05 and by any check_oracle run)
         "host_skew_profile": q_host_skew_profile,
-        "frontier_batches": q_frontier_batches,
-        "robots_gate": q_robots_gate,
-        "host_freq_cms": q_host_freq_cms,
-        "error_classification": q_error_classification,
-        "retry_backoff": q_retry_backoff,
-        "pricing_summary": q_pricing_summary,
-        "top_order_per_cust": q_top_order_per_cust,
-        "lag_purchase_delta": q_lag_purchase_delta,
-        "customers_no_orders": q_customers_no_orders,
-        "revenue_by_nation": q_revenue_by_nation,
-        "supplier_expr_join": q_supplier_expr_join,
-        "halfyear_recon": q_halfyear_recon,
-        "semi_join_bigorders": q_semi_join_bigorders,
-        "pivot_priority_status": q_pivot_priority_status,
         "success_rate": q_success_rate,
-        "scd2_rebuild": q_scd2_rebuild,
         "percent_cleanup": q_percent_cleanup,
         "month_last_day": q_month_last_day,
-        "url_param_parse": q_url_param_parse,
-        "md5_business_key": q_md5_business_key,
-        "json_props_extract": q_json_props_extract,
+        "supplier_expr_join": q_supplier_expr_join,
         "token_counts": q_token_counts,
         "repetition_scores": q_repetition_scores,
         "pii_redaction": q_pii_redaction,
@@ -1443,9 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap": q_winnowing_overlap,
         "exact_dup_flags": q_exact_dup_flags,
         "embedding_topk": q_embedding_topk,
-        "asof_purchase_before_error": q_asof_purchase_before_error,
-        "sessionize_events": q_sessionize_events,
-        "run_summary": q_run_summary,
         "rollup_order_counts": q_rollup_order_counts,
         "cube_status_priority": q_cube_status_priority,
         "order_value_percentiles": q_order_value_percentiles,
@@ -1457,46 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,  # exact-Jaccard verify tier, value-exact
         "pagerank_hosts": q_pagerank_hosts,  # oracle: unrolled 8-iteration power method
         "simhash_pairs": q_simhash_pairs,  # FNV-1a reimplemented in SQL — value-exact
-        # rows-only flagship + media plumbing, kept INSIDE the driver's 50-query
-        # correctness window (VERDICT r4 'wrong' #5): crawl_rounds is the
-        # integration query exercising the whole engine. With 54 entries and
-        # a 50-row window, the in-window set is 49 oracle-backed queries + the
-        # rows-only flagship. (xxhash64-signature minhash_neardups and
-        # seeded-plane ann_lsh_topk were retired from the listing — their
-        # oracle-exact md5 twins above cover the same pipelines value-exactly;
-        # the q_ functions and their value-asserting goldens remain.)
-        "crawl_rounds": q_crawl_rounds,
-        # past the window but still oracle-backed (any local check_oracle run
-        # covers them; both also carry value-asserting goldens/in-window twins)
-        "order_value_deciles": q_order_value_deciles,  # oracle twin of percentiles
-        "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
-        "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
-        "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
-        "robots_rfc_gate": q_robots_rfc_gate,  # RFC 9309 longest-match tier, value-exact
-        "sitemap_ingest": q_sitemap_ingest,  # sitemap render+parse cycle, value-exact
-        "recrawl_schedule": q_recrawl_schedule,  # adaptive freshness intervals, value-exact
-        "redirect_resolve": q_redirect_resolve,  # 3xx chain resolution, value-exact
-        "domain_rollup": q_domain_rollup,  # eTLD+1 registrable-domain rollup, value-exact
-        "canonical_groups": q_canonical_groups,  # rel=canonical consolidation, value-exact
-        "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,  # deletable filter tier, value-exact
-        "dup_ngram_spans": q_dup_ngram_spans,  # exact substring-dedup spans, value-exact
-        "trap_templates": q_trap_templates,  # URL-template explosion detection, value-exact
-        "url_hll_registers": q_url_hll_registers,  # relational HyperLogLog, value-exact
-        "robots_sitemaps": q_robots_sitemaps,  # Sitemap: record discovery, value-exact
-        "boilerplate_removal": q_boilerplate_removal,  # CCNet line dedup, value-exact
-        "anchor_text_agg": q_anchor_text_agg,  # per-target anchor corpus, value-exact
-        "page_metadata": q_page_metadata,  # title/charset/robots-meta gates, value-exact
-        "host_reputation": q_host_reputation,  # IRLbot in-link-diversity budgets, value-exact
-        "opic_hosts": q_opic_hosts,  # online page importance (WWW'03), value-exact
-        "stratified_sample": q_stratified_sample,  # exact per-stratum allocation, value-exact
-        "sequence_packing": q_sequence_packing,  # LLM doc->bin packing, value-exact
-        "link_reciprocity": q_link_reciprocity,  # link-farm signal, value-exact
-        "hits_hosts": q_hits_hosts,  # Kleinberg hubs/authorities, value-exact
-        "tracking_strip": q_tracking_strip,  # utm/gclid param stripping, value-exact
-        "soft404_detect": q_soft404_detect,  # error-pages-behind-200, value-exact
-        "frontier_age": q_frontier_age,  # backlog age + starvation flag, value-exact
-        # past the 50-entry window: rows-only queries whose substance is
-        # golden-tested (tests/test_query_goldens.py, test_multimodal.py)
+        # rows-only queries whose substance is golden-tested
+        # (tests/test_query_goldens.py, test_multimodal.py)
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
         "ann_ivf_topk": q_ann_ivf_topk,  # rows-only, planted-recall golden
         "frontier_cardinality": q_frontier_cardinality,  # rows-only, bound golden
