@@ -1401,6 +1401,51 @@ def q_crawl_rounds(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t.tableName}")
 
 
+def q_crawl_rounds_replay(spark, sf_dir):
+    """Flagship twin with a FULL independent replay oracle (VERDICT r5 next
+    #2): the same two-round crawl pipeline (dedup→robots→circuit→politeness→
+    fetch→retry→discovery→delta commit) run under the replay config —
+    schedule_tiebreak='url_canon' and fetch_roll_mode='doc' swap the two
+    xxhash64-keyed draws for SQL-portable total orders, and the 600 s round
+    cadence puts every retry's backoff deadline inside the next round so
+    jittered timestamps can't change WHICH rows are fetched. The DuckDB
+    oracle replays both rounds from `documents` alone: seed synthesis, robots
+    verdicts, per-host exact top-k, the failure ladder, retry budgets, the
+    circuit-breaker trip/half-open fold, outlink discovery, and the
+    latest-event frontier resolution — every fetched row's (round, url, host,
+    attempt, http_code, error_class) must match value-exactly."""
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store, run_crawl
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, robots_df, seeds_df
+
+    pages = pages_df(spark, sf_dir).persist()
+    cfg = CrawlConfig(
+        num_buckets=8,
+        n_salts=4,
+        max_per_host=25,
+        default_budget=25,
+        use_bloom=False,
+        round_duration_ms=600_000,
+        schedule_tiebreak="url_canon",
+        fetch_roll_mode="doc",
+    )
+    cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = crawl_store(tempfile.mkdtemp(prefix="wcp_replay_", dir=tmp_parent), cfg)
+    try:
+        run_crawl(spark, store, pages, robots_df(spark), seeds_df(spark, sf_dir), rounds=2, cfg=cfg)
+        log = store.read_all(spark, "fetch_log").select(
+            "round_id", "url_canon", "host", "attempt", "http_code", "error_class"
+        ).orderBy("round_id", "url_canon")
+        return log.localCheckpoint(eager=True)
+    finally:
+        pages.unpersist()
+        import shutil
+
+        shutil.rmtree(store.root, ignore_errors=True)
+        for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {t.tableName}")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-round pipeline on sf0.001."""
     return q_crawl_rounds(spark, "/root/testdata/sf0.001")
@@ -1422,7 +1467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — 22 keepers: one per structural family, certified green r1–r5 —
         "frontier_dedup": q_frontier_dedup,  # anti-join frontier∖seen (bloom tier)
         "politeness_topk": q_politeness_topk,  # salted two-level per-host rank
-        "frontier_batches": q_frontier_batches,  # batch slicing
         "robots_gate": q_robots_gate,  # NOT LIKE predicate gate
         "host_freq_cms": q_host_freq_cms,  # count-min sketch
         "error_classification": q_error_classification,  # parity table
@@ -1442,8 +1486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_before_error": q_asof_purchase_before_error,  # as-of join
         "sessionize_events": q_sessionize_events,  # sessionization
         "run_summary": q_run_summary,  # crawl run metrics
-        # — rows-only integration flagship, pinned in-window —
+        # — rows-only integration flagship, pinned in-window, plus its
+        #   value-exact replay twin (full two-round DuckDB replay oracle) —
         "crawl_rounds": q_crawl_rounds,
+        "crawl_rounds_replay": q_crawl_rounds_replay,
         # — 27 round-5 operator families, in-window for the first time —
         "warc_roundtrip": q_warc_roundtrip,  # ISO 28500 encode→parse cycle, value-exact
         "warc_ingest": q_warc_ingest,  # WARC→pages ingestion (Common Crawl), value-exact
@@ -1474,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,  # cosine near-dup clusters, value-exact
         # ——— past the 50-entry window from here: all still oracle-backed ———
         # (certified green in CORRECTNESS_r01–r05 and by any check_oracle run)
+        "frontier_batches": q_frontier_batches,
         "host_skew_profile": q_host_skew_profile,
         "success_rate": q_success_rate,
         "percent_cleanup": q_percent_cleanup,
@@ -2244,6 +2291,163 @@ WITH {_FRONTIER_SQL}
 SELECT url || '&utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR) || '&page=2' AS url,
        url || '&page=2' AS url_stripped
 FROM frontier
+""",
+        # FULL two-round crawl replay (flagship twin): re-derives seed
+        # synthesis, robots verdicts, per-host exact top-25 (url tiebreak),
+        # the scaled failure ladder, retry budgets, the circuit trip →
+        # half-open fold, outlink discovery, and latest-event frontier
+        # resolution — straight from `documents`, never touching the engine's
+        # committed state. Constants: _mix(c,k) = ((c%1000003)*2654435761 +
+        # 42k) % (2^31-1) (pages_gen), roll = _mix(doc*131+round, 11) % 10⁴
+        # (fetch_roll_mode='doc'), ladder cums 100/150/180/200/210/220/250/280
+        # at failure_per_mille=28 (scale 1.0).
+        "crawl_rounds_replay": """
+WITH
+maxdoc AS (SELECT max(doc_id) + 1 AS n FROM documents),
+pg AS (
+  SELECT doc_id,
+         text IS NOT NULL AS has_text,
+         CASE WHEN (((doc_id % 1000003) * 2654435761 + 42) % 2147483647) % 100 < 25 THEN 0
+              ELSE (((doc_id % 1000003) * 2654435761 + 84) % 2147483647) % 97 END AS hid,
+         ((((doc_id % 1000003) * 2654435761 + 126) % 2147483647) % 1000) / 1000.0 AS priority,
+         (((doc_id % 1000003) * 2654435761 + 252) % 2147483647) % 100 < 20 AS is_seed
+  FROM documents),
+pages AS (
+  SELECT doc_id, has_text, priority, is_seed,
+         'host-' || lpad(CAST(hid AS VARCHAR), 4, '0') || '.example' AS host,
+         'https://host-' || lpad(CAST(hid AS VARCHAR), 4, '0') || '.example/doc/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=seed' AS url
+  FROM pg),
+robots AS (
+  SELECT 'host-' || lpad(CAST(i AS VARCHAR), 4, '0') || '.example' AS host,
+         (((i % 1000003) * 2654435761 + 336) % 2147483647) % 100 AS m,
+         CAST((((i % 1000003) * 2654435761 + 420) % 2147483647) % 50 AS VARCHAR) AS dd,
+         CASE (((i % 1000003) * 2654435761 + 378) % 2147483647) % 5
+           WHEN 0 THEN 0 WHEN 1 THEN 250 WHEN 2 THEN 500 WHEN 3 THEN 1000 ELSE 5000 END AS delay_ms
+  FROM range(0, 97) t(i)),
+seeds AS (
+  SELECT url, host, '/doc/' || CAST(doc_id AS VARCHAR) AS path, priority, 0 AS attempt
+  FROM pages WHERE is_seed
+  UNION ALL
+  SELECT 'https://host-9999.example/missing/' || CAST(i AS VARCHAR),
+         'host-9999.example', '/missing/' || CAST(i AS VARCHAR), 0.5, 0
+  FROM range(0, 25) t(i)),
+gate1 AS (
+  SELECT s.*,
+         COALESCE(CASE WHEN r.m < 2 THEN FALSE
+                       WHEN r.m < 20 THEN NOT (starts_with(s.path, '/private')
+                                               OR starts_with(s.path, '/doc/' || r.dd))
+                       ELSE TRUE END, TRUE) AS allowed
+  FROM seeds s LEFT JOIN robots r USING (host)),
+rank1 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rk
+  FROM gate1 WHERE allowed),
+fetch1 AS (
+  SELECT s.url, s.host, s.path, s.priority, s.rk,
+         p.doc_id AS page_doc, p.has_text,
+         ((((p.doc_id * 131 + 1) % 1000003) * 2654435761 + 462) % 2147483647) % 10000 AS roll
+  FROM rank1 s LEFT JOIN pages p USING (url)
+  WHERE s.rk <= 25),
+out1 AS (
+  SELECT url, host, path, priority, rk, page_doc, has_text,
+         CASE WHEN page_doc IS NULL THEN 'api_error'
+              WHEN roll < 100 THEN 'network_error'
+              WHEN roll < 150 THEN 'rate_limit'
+              WHEN roll < 180 THEN 'timeout'
+              WHEN roll < 200 THEN 'proxy_error'
+              WHEN roll < 210 THEN 'auth_error'
+              WHEN roll < 220 THEN 'token_expired'
+              WHEN roll < 250 THEN 'api_error'
+              WHEN roll < 280 THEN 'parsing_error'
+              ELSE 'ok' END AS error_class
+  FROM fetch1),
+seen1 AS (SELECT url FROM out1 WHERE error_class IN ('ok', 'api_error', 'parsing_error')),
+disc0 AS (
+  SELECT (((o.page_doc % 1000003) * 31 + k.k * 2654435761) % 1000003) % (SELECT n FROM maxdoc) AS tgt,
+         (o.page_doc * 7 + k.k) % 100 < 5 AS dead
+  FROM out1 o CROSS JOIN (SELECT i + 1 AS k FROM range(0, 3) t(i)) k
+  WHERE o.error_class = 'ok' AND o.has_text),
+disc AS (
+  SELECT DISTINCT
+    CASE WHEN dead THEN 'host-9999.example'
+         ELSE 'host-' || lpad(CAST(
+           CASE WHEN (((tgt % 1000003) * 2654435761 + 42) % 2147483647) % 100 < 25 THEN 0
+                ELSE (((tgt % 1000003) * 2654435761 + 84) % 2147483647) % 97 END
+           AS VARCHAR), 4, '0') || '.example' END AS host,
+    tgt
+  FROM disc0),
+disc_rows AS (
+  SELECT 'https://' || host || '/doc/' || CAST(tgt AS VARCHAR) || '?id=' || CAST(tgt AS VARCHAR)
+           || '&ref=seed' AS url,
+         host, '/doc/' || CAST(tgt AS VARCHAR) AS path,
+         0.5 + (tgt % 500) / 1000.0 AS priority, 0 AS attempt
+  FROM disc),
+retries1 AS (
+  SELECT url, host, path, priority, 1 AS attempt FROM out1
+  WHERE error_class IN ('network_error','rate_limit','timeout','proxy_error','auth_error','token_expired')),
+leftover1 AS (
+  SELECT url, host, path, priority, 0 AS attempt FROM rank1 WHERE rk > 25),
+pool AS (
+  SELECT * FROM retries1 UNION ALL SELECT * FROM disc_rows UNION ALL SELECT * FROM leftover1),
+live2 AS (
+  SELECT url, host, path, priority, attempt FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY attempt DESC, priority DESC) AS _w
+    FROM pool)
+  WHERE _w = 1 AND url NOT IN (SELECT url FROM seen1)),
+circ0 AS (
+  SELECT o.host, o.rk, o.error_class, COALESCE(r.delay_ms, 500) AS delay,
+         max(CASE WHEN o.error_class = 'ok' THEN o.rk END) OVER (PARTITION BY o.host) AS ok_rk
+  FROM out1 o LEFT JOIN robots r USING (host)),
+halfopen AS (
+  SELECT host FROM circ0
+  WHERE error_class <> 'ok' AND (ok_rk IS NULL OR (delay > 0 AND rk > ok_rk))
+  GROUP BY host HAVING count(*) >= 10),
+gate2 AS (
+  SELECT l.*,
+         COALESCE(CASE WHEN r.m < 2 THEN FALSE
+                       WHEN r.m < 20 THEN NOT (starts_with(l.path, '/private')
+                                               OR starts_with(l.path, '/doc/' || r.dd))
+                       ELSE TRUE END, TRUE) AS allowed
+  FROM live2 l LEFT JOIN robots r USING (host)),
+rank2 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rk
+  FROM gate2 WHERE allowed),
+sched2 AS (
+  SELECT * FROM rank2
+  WHERE rk <= CASE WHEN host IN (SELECT host FROM halfopen) THEN 1 ELSE 25 END),
+fetch2 AS (
+  SELECT s.url, s.host, s.attempt + 1 AS attempt, p.doc_id AS page_doc,
+         ((((p.doc_id * 131 + 2) % 1000003) * 2654435761 + 462) % 2147483647) % 10000 AS roll
+  FROM sched2 s LEFT JOIN pages p USING (url)),
+out2 AS (
+  SELECT url, host, attempt, page_doc,
+         CASE WHEN page_doc IS NULL THEN 'api_error'
+              WHEN roll < 100 THEN 'network_error'
+              WHEN roll < 150 THEN 'rate_limit'
+              WHEN roll < 180 THEN 'timeout'
+              WHEN roll < 200 THEN 'proxy_error'
+              WHEN roll < 210 THEN 'auth_error'
+              WHEN roll < 220 THEN 'token_expired'
+              WHEN roll < 250 THEN 'api_error'
+              WHEN roll < 280 THEN 'parsing_error'
+              ELSE 'ok' END AS error_class
+  FROM fetch2)
+SELECT CAST(1 AS INT) AS round_id, url AS url_canon, host, CAST(1 AS INT) AS attempt,
+       CAST(CASE error_class WHEN 'ok' THEN 200 WHEN 'network_error' THEN 503
+            WHEN 'rate_limit' THEN 429 WHEN 'auth_error' THEN 401 WHEN 'token_expired' THEN 403
+            WHEN 'api_error' THEN (CASE WHEN page_doc IS NULL THEN 404 ELSE 400 END)
+            WHEN 'parsing_error' THEN 200 END AS INT) AS http_code,
+       error_class
+FROM out1
+UNION ALL
+SELECT CAST(2 AS INT), url, host, CAST(attempt AS INT),
+       CAST(CASE error_class WHEN 'ok' THEN 200 WHEN 'network_error' THEN 503
+            WHEN 'rate_limit' THEN 429 WHEN 'auth_error' THEN 401 WHEN 'token_expired' THEN 403
+            WHEN 'api_error' THEN (CASE WHEN page_doc IS NULL THEN 404 ELSE 400 END)
+            WHEN 'parsing_error' THEN 200 END AS INT),
+       error_class
+FROM out2
+ORDER BY round_id, url_canon
 """,
         # mirror of soft404_flag: phrase regexp AND short body AND code 200
         "soft404_detect": r"""

@@ -783,6 +783,10 @@ def test_churn_broadcast_regime_survives_fold_and_vacuum(spark, tmp_path):
     # a genuinely tiny-churn store keeps the broadcast regime throughout
     roomy = CrawlConfig(num_buckets=4, broadcast_churn_max_keys=1_000_000)
     assert _churn_broadcast_ok(store, 1, roomy)
+    # round-6: the estimate is EXACT (parquet footer rows, not bytes÷const) —
+    # the crossover sits precisely at the true key count
+    assert not _churn_broadcast_ok(store, 1, CrawlConfig(num_buckets=4, broadcast_churn_max_keys=3_999))
+    assert _churn_broadcast_ok(store, 1, CrawlConfig(num_buckets=4, broadcast_churn_max_keys=4_000))
 
 
 def test_delta_mode_commit_volume_tracks_churn_not_frontier(spark, tmp_path, crawl_inputs):
@@ -884,3 +888,67 @@ def test_drained_frontier_yields_idle_round_not_crash(spark, tmp_path, crawl_inp
     assert stats[-1]["scheduled"] == 0  # fully drained, still committing rounds
     assert live_frontier(spark, store, 6, tiny).count() == 0
     shutil.rmtree(str(tmp_path / "drain"))
+
+
+def test_tracking_param_aliases_collapse_before_seen(spark):
+    """Round-6 wiring: utm/gclid-aliased seeds of one page dedup to ONE
+    frontier row keyed on the cleaned canonical URL (tracking params never
+    reach the seen-set); clean-URL semantics unchanged."""
+    rows = [
+        ("https://a.example/p?id=5&utm_source=nl&gclid=xyz", 0.9, 0),
+        ("https://a.example/p?utm_campaign=q3&id=5", 0.5, 0),
+        ("https://a.example/p?id=5", 0.7, 0),
+        ("https://b.example/q?x=1", 0.4, 0),  # clean URL, untouched
+    ]
+    seeds = spark.createDataFrame(rows, "url string, priority double, depth int")
+    f = frontier_from_seeds(seeds)
+    got = {r.url_canon: r for r in f.collect()}
+    assert set(got) == {"https://a.example/p?id=5", "https://b.example/q?x=1"}
+    # the dedup kept the highest-priority alias's row
+    assert got["https://a.example/p?id=5"].priority == 0.9
+
+
+def test_redirect_chains_resolve_to_terminals(spark, tmp_path, crawl_inputs):
+    """Round-6 wiring (VERDICT r5 next #4): with 3xx pages injected, the
+    redirect SOURCE is terminal in the fetch log (class 'redirect', never
+    refetched) and its chain's TERMINAL — not the intermediates — lands in
+    the frontier and is fetched in a later round."""
+    from web_crawling_prj_spark.operators.redirects import resolve_redirects
+
+    pages, robots, seeds, base_cfg = crawl_inputs
+    cfg = CrawlConfig(
+        num_buckets=8, n_salts=4, max_per_host=25, default_budget=25,
+        redirect_per_mille=250, redirect_max_hops=8,
+    )
+    cfg.extra["max_doc_id"] = base_cfg.extra["max_doc_id"]
+    store = crawl_store(str(tmp_path / "redir"), cfg)
+    run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
+    log = store.read_all(spark, "fetch_log")
+
+    r3 = log.where(F.col("error_class") == "redirect")
+    assert r3.count() > 0, "no redirects injected — raise redirect_per_mille"
+    # a 3xx source is terminal: exactly one fetch ever, no retries
+    assert r3.groupBy("url_canon").count().where("count > 1").count() == 0
+    assert r3.where(F.col("can_retry")).count() == 0
+
+    # terminals of round-1 chains appear in the round-2 fetch log (unless the
+    # target was already seen in round 1 or lost the budget race — so assert
+    # on a positive subset: at least one resolved terminal got fetched later)
+    edges = r3.where(F.col("round_id") == 1).select(
+        F.col("url_canon").alias("src"), F.col("redirect_to").alias("dst")
+    )
+    resolved = resolve_redirects(edges, max_hops=8)
+    terms = {r.final for r in resolved.where("terminated").collect()}
+    later = {
+        r.url_canon for r in log.where(F.col("round_id") > 1).select("url_canon").collect()
+    }
+    assert terms, "round-1 chains resolved to no terminals"
+    assert terms & later, "no resolved terminal was ever fetched in a later round"
+
+    # intermediates (3xx pages) never re-enter the frontier: live view is
+    # disjoint from redirect sources
+    from web_crawling_prj_spark.plans.crawl_round import live_frontier
+
+    live = live_frontier(spark, store, 3, cfg)
+    srcs = r3.select(F.col("url_canon").alias("u")).distinct()
+    assert live.join(srcs, live["url_canon"] == srcs["u"], "left_semi").count() == 0

@@ -348,3 +348,73 @@ def test_threshold_prefilter_rescue_pass_restores_exactness(spark):
     cols = ["url_hash", "host", "host_rank"]
     assert base.select(cols).exceptAll(fast.select(cols)).count() == 0
     assert fast.select(cols).exceptAll(base.select(cols)).count() == 0
+
+
+def test_schedule_tiebreak_url_canon(spark):
+    """Replay knob: tiebreak='url_canon' breaks per-host priority ties by URL
+    string order (SQL-portable), not url_hash — exact top-k semantics
+    otherwise unchanged (same winner COUNT per host as the default)."""
+    from web_crawling_prj_spark.operators.politeness import host_budgets, schedule_round
+
+    pending = spark.range(40).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.format_string("https://h0.example/p/%02d", "id").alias("url_canon"),
+        F.lit("h0.example").alias("host"),
+        F.lit(0.5).alias("priority"),  # all tied → tiebreak decides entirely
+    )
+    robots = spark.createDataFrame([("h0.example", 100)], "host string, crawl_delay_ms int")
+    budgets = host_budgets(robots, 30_000, max_per_host=10)
+    got = schedule_round(pending, budgets, n_salts=4, tiebreak="url_canon").collect()
+    picked = sorted(r["url_canon"] for r in got)
+    assert picked == [f"https://h0.example/p/{i:02d}" for i in range(10)]
+    # rank follows url order exactly
+    by_rank = sorted(got, key=lambda r: r["host_rank"])
+    assert [r["url_canon"] for r in by_rank] == picked
+
+
+def test_synthetic_fetch_roll_mode_doc_matches_arithmetic(spark):
+    """Replay knob: roll_mode='doc' draws failures from pure integer
+    arithmetic over (page_doc_id, round_id) — re-derivable by any ANSI-SQL
+    engine. Pin the exact band arithmetic against a Python re-computation."""
+    from web_crawling_prj_spark.operators.fetch import synthetic_fetch
+    from web_crawling_prj_spark.operators.retry import classify_fetch_log
+
+    n = 2000
+    pages = spark.range(n).select(
+        F.format_string("https://h%d.example/doc/%d", F.pmod("id", F.lit(5)), "id").alias("url"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.format_string("<html>%d</html>", "id"), "utf-8").alias("html"),
+        F.format_string("%d", "id").alias("text"),
+        F.lit("en").alias("lang"),
+        F.col("id").alias("doc_id"),
+    )
+    sched = pages.select(
+        F.col("url").alias("url_canon"),
+        F.xxhash64("url").alias("url_hash"),
+        F.format_string("h%d.example", F.pmod("doc_id", F.lit(5))).alias("host"),
+        F.lit(0.5).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).cast("long").alias("fetch_offset_ms"),
+        F.lit(0).alias("proxy_slot"),
+    )
+    log = classify_fetch_log(
+        synthetic_fetch(sched, pages, 3, "2025-06-01 00:00:00", roll_mode="doc")
+    ).select("page_doc_id", "error_class").collect()
+
+    bands = [(100, "network_error"), (150, "rate_limit"), (180, "timeout"),
+             (200, "proxy_error"), (210, "auth_error"), (220, "token_expired"),
+             (250, "api_error"), (280, "parsing_error")]
+
+    def expect(doc):
+        roll = (((doc * 131 + 3) % 1000003) * 2654435761 + 42 * 11) % (2**31 - 1) % 10000
+        for cum, cls in bands:
+            if roll < cum:
+                return cls
+        return "ok"
+
+    assert len(log) == n
+    for r in log:
+        assert r["error_class"] == expect(r["page_doc_id"]), r
+    # and at least two failure classes actually occur at this n
+    assert len({r["error_class"] for r in log}) >= 3

@@ -51,6 +51,10 @@ def test_budget_table(spark):
         "api_error": 0,
         "parsing_error": 0,
         "unknown": 3,
+        # beyond the reference (httpx follows 3xx internally): the source URL
+        # of a redirect is terminal — its resolved target re-enters via the
+        # discovery step, never a refetch of the source
+        "redirect": 0,
     }
     assert RETRY_BUDGETS == want
     df = spark.createDataFrame([(k,) for k in RETRY_BUDGETS], "cls string")

@@ -470,3 +470,57 @@ def test_parser_is_a_narrow_transform(spark):
     ) if False else parse_warc(files)._jdf.queryExecution().executedPlan().toString()
     # one exchange total (the pack groupBy) — none introduced by parse_warc
     assert plan.count("Exchange") <= 1
+
+
+def test_read_warc_splits_row_identical_and_parallel(spark, tmp_path):
+    """CDX-driven splittable scan: one big .warc.gz parallelizes across
+    byte-range splits, and the records are ROW-IDENTICAL (including the
+    file-global rec_seq) to the whole-file scan."""
+    from web_crawling_prj_spark.sources.warc import (
+        read_warc_splits,
+        warc_gz_files_df,
+        write_warc_files,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("https://s.example/doc/%d", "id").alias("uri"),
+        F.format_string("payload body %d", "id").alias("body"),
+    )
+    rec = docs.select(
+        (F.col("doc_id") % 2).alias("warc_file"),
+        F.col("doc_id").alias("k"),
+        F.col("uri"),
+        warc_record_col(F.col("uri"), F.col("body")).alias("record"),
+    )
+    files = warc_gz_files_df(
+        rec, file_key=F.col("warc_file"), order_key=F.col("k"),
+        record=F.col("record"), uri=F.col("uri"),
+    ).persist()
+    out = str(tmp_path / "arch")
+    write_warc_files(files.select("warc_file", "blob"), out, suffix=".warc.gz")
+    cdx = files.select("warc_file", F.explode("cdx").alias("c")).select(
+        F.concat(
+            F.lit(out + "/part-"), F.format_string("%06d", "warc_file"), F.lit(".warc.gz")
+        ).alias("path"),
+        F.col("c.uri").alias("uri"),
+        F.col("c.offset").alias("offset"),
+        F.col("c.length").alias("length"),
+    ).persist()
+
+    whole = read_warc_dir(spark, out)
+    split = read_warc_splits(spark, cdx, records_per_split=8)
+    cols = ["warc_file", "rec_seq", "rec_type", "target_uri", "warc_date",
+            "content_length", "payload"]
+    assert split.select(cols).exceptAll(whole.select(cols)).count() == 0
+    assert whole.select(cols).exceptAll(split.select(cols)).count() == 0
+    # 2 files × 50 records at 8/split → 14 splits: one archive, many tasks
+    from pyspark.sql import Window as W
+
+    n_splits = (
+        cdx.withColumn("_i", F.row_number().over(W.partitionBy("path").orderBy("offset")) - 1)
+        .select("path", F.floor(F.col("_i") / 8).alias("s")).distinct().count()
+    )
+    assert n_splits > cdx.select("path").distinct().count()
+    files.unpersist()
+    cdx.unpersist()

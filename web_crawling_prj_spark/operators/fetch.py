@@ -45,10 +45,18 @@ def synthetic_fetch(
     round_id: int,
     round_ts,
     failure_per_mille: int = 28,
+    roll_mode: str = "xxhash",
+    redirect_per_mille: int = 0,
+    max_doc_id: int | None = None,
 ) -> DataFrame:
     """Deterministic fetch: look up each scheduled URL in the page store.
 
     - URL not in store → http 404 (api_error, no retry — budget 0);
+    - ``redirect_per_mille`` > 0: a per-PAGE (round-independent, so a
+      redirecting page redirects consistently — chains are stable) draw makes
+      the page answer 301 + a deterministic ``redirect_to`` target at the
+      target's true host; the discovery step resolves chains to terminals
+      (operators.redirects) and enqueues those;
     - seeded roll < threshold → injected failure by class ladder;
     - otherwise ok + byte-identical extracted text.
 
@@ -67,7 +75,19 @@ def synthetic_fetch(
     )
     j = scheduled.join(page_payload, "url_canon", "left")
 
-    roll = F.pmod(F.xxhash64(F.lit(round_id), F.col("url_canon")), F.lit(10_000))
+    # Failure draw in [0, 10000). Two deterministic modes:
+    #   "xxhash" (default): xxhash64(round_id, url_canon) — best mixing.
+    #   "doc": pure integer arithmetic over (page_doc_id, round_id) — same
+    #   Knuth-mix family as the page synthesizer, chosen so an ANSI-SQL
+    #   engine (the DuckDB replay oracle behind crawl_rounds_replay) can
+    #   reproduce the draw exactly; missing pages are 404s before the roll
+    #   is consulted, so the NULL doc_id never reaches a failure band.
+    if roll_mode == "doc":
+        from web_crawling_prj_spark.sources.pages_gen import _mix
+
+        roll = F.pmod(_mix(F.col("page_doc_id") * 131 + round_id, 11), F.lit(10_000))
+    else:
+        roll = F.pmod(F.xxhash64(F.lit(round_id), F.col("url_canon")), F.lit(10_000))
     # scale ladder thresholds to the requested overall failure rate
     scale = failure_per_mille * 10 / 280.0
     status = F.lit("ok")
@@ -77,10 +97,29 @@ def synthetic_fetch(
         status = F.when(roll < int(cum * scale), F.lit(cls)).otherwise(status)
         http = F.when(roll < int(cum * scale), F.lit(code).cast("int")).otherwise(http)
         kind = F.when(roll < int(cum * scale), F.lit(k).cast("string")).otherwise(kind)
+    # redirect injection: a page PROPERTY (arithmetic over page_doc_id only —
+    # no round term), so the same page 301s every time it is fetched and
+    # chains A→B→C are stable across rounds. Target = a deterministic doc at
+    # its TRUE host, so resolution lands on a real page (or a further hop).
+    redirect_to = F.lit(None).cast("string")
+    if redirect_per_mille > 0 and max_doc_id:
+        from web_crawling_prj_spark.sources.pages_gen import _mix, host_for_doc
+
+        is_redir = _mix(F.col("page_doc_id"), 16) % 1000 < redirect_per_mille
+        tgt = _mix(F.col("page_doc_id"), 17) % max_doc_id
+        tgt_url = F.format_string(
+            "https://%s/doc/%d?id=%d&ref=seed", host_for_doc(tgt), tgt, tgt
+        )
+        status = F.when(is_redir, F.lit("redirect")).otherwise(status)
+        http = F.when(is_redir, F.lit(301)).otherwise(http)
+        kind = F.when(is_redir, F.lit("redirect")).otherwise(kind)
+        redirect_to = F.when(is_redir, tgt_url)
+
     missing = F.col("page_doc_id").isNull()
     status = F.when(missing, F.lit("api_error")).otherwise(status)
     http = F.when(missing, F.lit(404)).otherwise(http)
     kind = F.when(missing, F.lit(None).cast("string")).otherwise(kind)
+    redirect_to = F.when(missing, F.lit(None).cast("string")).otherwise(redirect_to)
 
     fetched = j.withColumns(
         {
@@ -91,6 +130,7 @@ def synthetic_fetch(
             "fetched_ts": F.lit(round_ts).cast("timestamp")
             + F.make_interval(secs=F.col("fetch_offset_ms") / 1000.0),
             "attempt": F.coalesce(F.col("attempt"), F.lit(0)) + 1,
+            "redirect_to": redirect_to,
         }
     )
     ok = F.col("error_class_injected") == "ok"
@@ -112,6 +152,7 @@ def synthetic_fetch(
         "page_doc_id",
         "extracted_text",
         "lang",
+        "redirect_to",
     )
 
 

@@ -91,6 +91,7 @@ def schedule_round(
     prefilter_sample_mod: int = 64,
     prefilter_safety: float = 2.0,
     persisted: list | None = None,
+    tiebreak: str = "url_hash",
 ) -> DataFrame:
     """Pick ≤ budget URLs per host: two-level salted exact top-k.
 
@@ -124,7 +125,14 @@ def schedule_round(
     network-bound clusters where shuffle bytes, not the local memory bus,
     price the rank; measure before enabling (CrawlConfig.rank_prefilter).
     """
-    slim_cols = pending.select("url_hash", "host", "priority") if slim else pending
+    # ``tiebreak``: the ascending order column breaking priority ties inside a
+    # host (default url_hash — cheap 8-byte sort key). A crawl that must be
+    # replayable by an engine without xxhash64 (the DuckDB replay oracle)
+    # passes "url_canon": same exact-top-k semantics, portable total order.
+    slim_proj = ["url_hash", "host", "priority"] + (
+        [tiebreak] if tiebreak not in ("url_hash", "host", "priority") else []
+    )
+    slim_cols = pending.select(*slim_proj) if slim else pending
     p = slim_cols.join(
         F.broadcast(budgets.select("host", "max_per_round", "crawl_delay_ms")),
         "host",
@@ -136,7 +144,7 @@ def schedule_round(
         }
     )
 
-    order = [F.desc("priority"), F.asc("url_hash")]
+    order = [F.desc("priority"), F.asc(tiebreak)]
     salt = F.pmod(F.col("url_hash"), F.lit(n_salts))
 
     def exact_rank(rows: DataFrame) -> DataFrame:

@@ -36,6 +36,10 @@ RETRY_BUDGETS: dict[str, int] = {
     "api_error": 0,
     "parsing_error": 0,
     "unknown": 3,
+    # 3xx is terminal for the URL itself: its resolved TARGET re-enters the
+    # frontier via the discovery step (plans.crawl_round wiring of
+    # operators.redirects.resolve_redirects), the source is never refetched.
+    "redirect": 0,
 }
 
 # per-class base delays (error_handler.py:146-153); others base 1 s
@@ -64,6 +68,7 @@ def classify_status(http_code: Column | str, error_kind: Column | str | None = N
         .when(code == 403, F.lit("token_expired"))
         .when((code >= 400) & (code < 500), F.lit("api_error"))
         .when(code >= 500, F.lit("network_error"))
+        .when((code >= 300) & (code < 400), F.lit("redirect"))
         .when((code >= 200) & (code < 300), F.lit("ok"))
         .otherwise(F.lit("unknown"))
     )

@@ -593,6 +593,72 @@ def archive_missing_rounds(
     return done
 
 
+def read_warc_splits(
+    spark: SparkSession, cdx: DataFrame, records_per_split: int = 4096
+) -> DataFrame:
+    """Splittable ``.warc.gz`` scan driven by the CDX sidecar (VERDICT r5
+    next #6): :func:`read_warc_dir` is one-task-per-FILE, so a single
+    multi-hundred-GB archive serializes onto one core. The CDX index already
+    stores every member's ``(path, offset, length)``; this scan groups
+    ``records_per_split`` CONSECUTIVE members into byte-range splits — the
+    members are back-to-back gzip members, so a split is one contiguous
+    span — and each task does ONE ranged read of its span (object-store GET
+    with a Range header; local ``seek`` is the file:// analog), gunzips its
+    members, and parses only them. ``rec_seq`` stays file-global (the
+    split's starting member index offsets it), so the output is ROW-IDENTICAL
+    to the whole-file scan (tested).
+
+    ``cdx``: the ``_cdx/`` parquet (path, uri, offset, length) an archive
+    write emits (see :func:`archive_round`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy("offset")
+    idx = cdx.withColumn("_i", F.row_number().over(w) - 1)
+    splits = idx.groupBy(
+        "path", F.floor(F.col("_i") / records_per_split).alias("_split")
+    ).agg(
+        F.min("offset").alias("off"),
+        F.max(F.col("offset") + F.col("length")).alias("end"),
+        F.min("_i").alias("seq0"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, off, end, seq0 in zip(
+                pdf["path"], pdf["off"], pdf["end"], pdf["seq0"]
+            ):
+                with open(path, "rb") as f:
+                    f.seek(int(off))
+                    raw = f.read(int(end) - int(off))
+                for rec in _parse_blob(path, _gunzip_members(raw)):
+                    rows.append((path, int(seq0) + rec[0], *rec[1:]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "rec_seq", "rec_type", "target_uri",
+                    "warc_date", "content_length", "payload",
+                ],
+            )
+
+    parsed = splits.repartition(F.col("path"), F.col("_split")).mapInPandas(
+        gen,
+        schema=(
+            "path string, rec_seq int, rec_type string, target_uri string, "
+            "warc_date string, content_length bigint, payload string"
+        ),
+    )
+    # same warc_file identity as read_warc_dir: dense per-path id over the
+    # SCHEME-NORMALIZED path (binaryFile reports file: URIs, CDX stores
+    # plain paths — both must hash to one id for the two scans to agree)
+    return parsed.select(
+        F.xxhash64(F.regexp_replace("path", "^[a-z][a-z0-9+.-]*:(//)?", "")).alias(
+            "warc_file"
+        ),
+        "rec_seq", "rec_type", "target_uri", "warc_date", "content_length", "payload",
+    )
+
+
 def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
     """Parse every ``*.warc`` / ``*.warc.gz`` under ``path`` (Spark
     ``binaryFile`` source — one row per file, parallel file-per-task;
@@ -604,6 +670,13 @@ def read_warc_dir(spark: SparkSession, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{warc,warc.gz,warc.wet.gz,warc.wat.gz}")
         .load(path)
-        .select(F.xxhash64("path").alias("warc_file"), F.col("content").alias("blob"))
+        .select(
+            # scheme-normalized id so the CDX-driven split scan
+            # (read_warc_splits, plain paths) agrees file-for-file
+            F.xxhash64(
+                F.regexp_replace("path", "^[a-z][a-z0-9+.-]*:(//)?", "")
+            ).alias("warc_file"),
+            F.col("content").alias("blob"),
+        )
     )
     return parse_warc(raw)
