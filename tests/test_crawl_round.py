@@ -952,3 +952,42 @@ def test_redirect_chains_resolve_to_terminals(spark, tmp_path, crawl_inputs):
     live = live_frontier(spark, store, 3, cfg)
     srcs = r3.select(F.col("url_canon").alias("u")).distinct()
     assert live.join(srcs, live["url_canon"] == srcs["u"], "left_semi").count() == 0
+
+
+def test_shard_rows_seen_tier_equals_broadcast_tier(spark, tmp_path, crawl_inputs):
+    """Legacy plain-layout crawl with the PARTITION-RESIDENT bloom tier
+    (approx_seen_tier='shard_rows': shards committed as rows, cogroup probe,
+    zero driver assembly) produces the identical seen-set and schedule as the
+    broadcast tier — and maintains exactly one bloom_shards round table."""
+    pages, robots, seeds, base_cfg = crawl_inputs
+
+    def run(tier, name):
+        cfg = CrawlConfig(
+            num_buckets=8, n_salts=4, max_per_host=25, default_budget=25,
+            frontier_deltas=False, use_bloom=True, approx_seen_tier=tier,
+        )
+        cfg.extra["max_doc_id"] = base_cfg.extra["max_doc_id"]
+        store = StateStore(str(tmp_path / name))  # plain layout → bloom tier active
+        run_crawl(spark, store, pages, robots, seeds, rounds=3, cfg=cfg)
+        return store
+
+    s_bc = run("broadcast", "bc")
+    s_sr = run("shard_rows", "sr")
+    assert _final_state(s_bc, spark) == _final_state(s_sr, spark)
+    # retention: only the newest shard table survives
+    have = [r for r in s_sr.committed_rounds() if s_sr.has_table("bloom_shards", r)]
+    assert have == [3]
+    # and the shard rows cover the full seen-set (no false negatives):
+    # every seen key must probe TRUE against the committed table
+    from web_crawling_prj_spark.operators.shardprobe import probe_bloom_shard_rows
+
+    seen = s_sr.read_all(spark, "seen_delta").select("url_hash")
+    rows = s_sr.read_round(spark, "bloom_shards", 3)
+    cfg = CrawlConfig(num_buckets=8)
+    probed = probe_bloom_shard_rows(
+        seen, rows, num_shards=8, expected_per_shard=cfg.bloom_expected_per_shard,
+        fpp=cfg.bloom_fpp,
+    )
+    assert probed.where(~F.col("_maybe_seen")).count() == 0
+    shutil.rmtree(str(tmp_path / "bc"))
+    shutil.rmtree(str(tmp_path / "sr"))

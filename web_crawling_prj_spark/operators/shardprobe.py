@@ -184,6 +184,29 @@ def probe_cuckoo_shard_rows(
     return _cogroup_probe(frontier, shard_rows, key, num_shards, out_col, probe_group)
 
 
+def merge_bloom_shard_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two compatible bloom shard-row tables — the incremental-maintenance
+    primitive (same contract as ``bloom.merge_blooms``, kept distributed):
+    each round builds shard rows over its seen DELTA and ORs them into the
+    persisted table, so the filter never rescans the full seen-set. Shards
+    present on one side only pass through unchanged."""
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard"].iloc[0])
+        acc: np.ndarray | None = None
+        for blob in pdf["bitmap"]:
+            cur = np.frombuffer(blob, dtype=np.uint8)
+            acc = cur.copy() if acc is None else (acc | cur)
+        return pd.DataFrame({"shard": [s], "bitmap": [acc.tobytes()]})
+
+    return (
+        a.select("shard", "bitmap")
+        .unionByName(b.select("shard", "bitmap"))
+        .groupBy("shard")
+        .applyInPandas(or_group, schema="shard int, bitmap binary")
+    )
+
+
 def anti_join_seen_shard_rows(
     frontier: DataFrame,
     seen: DataFrame,

@@ -191,6 +191,16 @@ class CrawlConfig:
     # source URL itself is terminal (class 'redirect', budget 0 → seen).
     redirect_per_mille: int = 0
     redirect_max_hops: int = 8
+    # approximate seen-tier transport (legacy plain-layout mode only — the
+    # bucketed layout replaces the tier structurally and delta mode never
+    # probes the seen-set at read time):
+    #   "broadcast"  — assemble the shard array on the driver and broadcast
+    #                  (fastest to a few hundred MB; the 10^10-URL OOM cliff);
+    #   "shard_rows" — shards live as (shard, bitmap) ROWS in a per-round
+    #                  `bloom_shards` store table, maintained incrementally
+    #                  (delta-OR per round) and probed map-side by cogroup —
+    #                  zero driver memory term (operators.shardprobe).
+    approx_seen_tier: str = "broadcast"
     extra: dict = field(default_factory=dict)
 
     def round_ts(self, round_id: int) -> str:
@@ -574,6 +584,39 @@ def pending_frontier(
     bloom_bcast = None  # round-owned broadcast (destroyed in run_round's
     # finally) — a thousand-round crawl must not accumulate bitmaps on executors
     if seen_bases or seen_deltas:
+        if _use_bloom(store, cfg) and cfg.approx_seen_tier == "shard_rows":
+            # partition-resident tier: probe the committed shard ROWS map-side
+            # (cogroup — each task decodes only its own shard; no driver
+            # assembly, no broadcast). Routing contract unchanged: probe-false
+            # rows skip the layered anti-join, probe-true rows are rescued
+            # exactly.
+            from web_crawling_prj_spark.operators.shardprobe import (
+                build_bloom_shard_rows,
+                probe_bloom_shard_rows,
+            )
+
+            if store.has_table("bloom_shards", round_id - 1):
+                shard_rows = store.read_round(spark, "bloom_shards", round_id - 1)
+            else:  # store predates the tier: one-time build over the seen-set
+                shard_rows = build_bloom_shard_rows(
+                    store.read_all(spark, "seen_delta", up_to=round_id - 1),
+                    num_shards=cfg.num_buckets,
+                    expected_per_shard=cfg.bloom_expected_per_shard,
+                    fpp=cfg.bloom_fpp,
+                )
+            probed = probe_bloom_shard_rows(
+                eligible,
+                shard_rows,
+                num_shards=cfg.num_buckets,
+                expected_per_shard=cfg.bloom_expected_per_shard,
+                fpp=cfg.bloom_fpp,
+            )
+            new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            cand = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            pending = new.unionByName(
+                anti_join_seen_layered(cand, [*seen_bases, *seen_deltas])
+            )
+            return pending, deferred, None
         if _use_bloom(store, cfg):
             raw = store.load_bloom(round_id - 1)
             if raw is not None:
@@ -1078,6 +1121,30 @@ def _run_round(
         "host_state": new_host_state,
         "run_report": run_summary(metrics),
     }
+    if (
+        not cfg.frontier_deltas
+        and _use_bloom(store, cfg)
+        and cfg.approx_seen_tier == "shard_rows"
+    ):
+        # partition-resident tier maintenance: OR this round's delta shard
+        # rows into the committed table — incremental, distributed, never a
+        # full seen-set rescan; committed atomically with the round
+        from web_crawling_prj_spark.operators.shardprobe import (
+            build_bloom_shard_rows,
+            merge_bloom_shard_rows,
+        )
+
+        shard_rows = build_bloom_shard_rows(
+            seen_delta,
+            num_shards=cfg.num_buckets,
+            expected_per_shard=cfg.bloom_expected_per_shard,
+            fpp=cfg.bloom_fpp,
+        )
+        if store.has_table("bloom_shards", round_id - 1):
+            shard_rows = merge_bloom_shard_rows(
+                store.read_round(spark, "bloom_shards", round_id - 1), shard_rows
+            )
+        tables["bloom_shards"] = shard_rows
     if pr_scores is not None:
         # refreshed this round with pagerank_every > 1: commit the normalized
         # scores so the next K-1 rounds blend them without touching the full
@@ -1119,13 +1186,25 @@ def _run_round(
         for r in store.committed_rounds():
             if r < round_id and store.has_table("pagerank_scores", r):
                 store.drop_round_table("pagerank_scores", r)
+    if "bloom_shards" in tables:
+        # same retention as pagerank_scores: only the newest shard table is
+        # ever probed, so reap superseded rounds — O(P·m) storage total, not
+        # O(rounds·P·m). Kill-safe for the same reason.
+        for r in store.committed_rounds():
+            if r < round_id and store.has_table("bloom_shards", r):
+                store.drop_round_table("bloom_shards", r)
     # maintain the cumulative bloom sidecar: delta bloom over this round's
     # seen_delta (tiny, fetch_log is cached) OR'd into the running bitmap.
     # Skipped entirely on the bucketed layout — nothing ever probes it there —
     # AND in delta mode, where no read path probes the seen-set at all (a
     # delta-mode round would otherwise overwrite the sidecar with just its
     # own delta bloom: wasted work + a broken cumulative contract, ADVICE r4).
-    if not cfg.frontier_deltas and _use_bloom(store, cfg):
+    # The shard_rows tier maintains its own committed table instead.
+    if (
+        not cfg.frontier_deltas
+        and _use_bloom(store, cfg)
+        and cfg.approx_seen_tier != "shard_rows"
+    ):
         delta = build_sharded_bloom(
             seen_delta,
             num_shards=cfg.num_buckets,
