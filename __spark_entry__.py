@@ -758,6 +758,20 @@ def q_page_metadata(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (textdedup.decontaminate): documents with
+    doc_id % 5 == 0 stand in for the eval set; every other doc is annotated
+    with its distinct shared-8-gram count and a contaminated flag. The
+    oracle re-derives grams with the same tokenizer and replays the overlap
+    join in SQL."""
+    from web_crawling_prj_spark.operators.textdedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 5 == 0)
+    tr = d.where(F.col("doc_id") % 5 != 0)
+    return decontaminate(tr, ev, shingle_n=8, min_shared=1)
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """CCNet-style line dedup (textdedup.remove_boilerplate_lines): synthetic
     pages wrap each doc in two global boilerplate lines + one per-host line;
@@ -1480,7 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_bigorders": q_semi_join_bigorders,  # semi-join via IN
         "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
         "scd2_rebuild": q_scd2_rebuild,  # SCD2 merge + latest flags
-        "url_param_parse": q_url_param_parse,  # F4 query→map
+        "decontamination": q_decontamination,  # eval-set n-gram overlap filter, value-exact
         "md5_business_key": q_md5_business_key,  # F1 row hash
         "json_props_extract": q_json_props_extract,  # F12 JSON path
         "asof_purchase_before_error": q_asof_purchase_before_error,  # as-of join
@@ -1521,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— past the 50-entry window from here: all still oracle-backed ———
         # (certified green in CORRECTNESS_r01–r05 and by any check_oracle run)
         "frontier_batches": q_frontier_batches,
+        "url_param_parse": q_url_param_parse,
         "host_skew_profile": q_host_skew_profile,
         "success_rate": q_success_rate,
         "percent_cleanup": q_percent_cleanup,
@@ -1803,6 +1818,32 @@ FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
 WITH {_FRONTIER_SQL}
 SELECT f.url, f.host, round(f.priority, 6) AS priority
 FROM frontier f WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+""",
+        # decontamination: the SAME distinct word-8-gram derivation as
+        # shingles_col (whole-doc gram under 8 tokens, [''] for empty/NULL
+        # text), eval = doc_id % 97 == 0, overlap join + per-doc count
+        "decontamination": r"""
+WITH t0 AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
+                  x -> x <> ''), []) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN ['']
+              WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 7 + 1),
+                     i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))
+         END AS grams
+  FROM t0),
+eg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 5 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 5 <> 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM tg JOIN eg USING (gr) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+       coalesce(h.n_shared, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+LEFT JOIN hits h USING (doc_id)
 """,
         # exact duplicate-substring spans: positional 8-grams (same tokenizer
         # as the minhash oracle), corpus-wide count>=2, interval merge per doc

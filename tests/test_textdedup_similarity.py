@@ -415,3 +415,44 @@ def test_cms_bounds_and_merge(spark):
     one_shot = {(r.j, r.cell): r.cnt for r in cells.collect()}
     got = {(r.j, r.cell): r.cnt for r in merged.collect()}
     assert got == one_shot
+
+
+def test_decontaminate_overlap_counts_and_flags(spark):
+    """Known-answer decontamination: 8-gram overlap counts per train doc,
+    clean docs annotated n_shared=0, min_shared threshold honored, short
+    docs compare by their whole-doc gram."""
+    from web_crawling_prj_spark.operators.textdedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (101, "short eval doc"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # full 10-token copy of eval 100 → shares all 3 distinct 8-grams
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # 8-token prefix → exactly 1 shared 8-gram
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            # clean doc
+            (3, "completely different words having nothing in common at all"),
+            # short doc equal to eval 101 → whole-doc gram collision
+            (4, "short eval doc"),
+            # short doc, not in eval
+            (5, "short other doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(train, ev).collect()}
+    assert {k: (v.n_shared, v.contaminated) for k, v in got.items()} == {
+        1: (3, True),
+        2: (1, True),
+        3: (0, False),
+        4: (1, True),
+        5: (0, False),
+    }
+    # min_shared raises the bar: only the full copy survives a 2-gram bar
+    strict = {r.doc_id: r.contaminated for r in decontaminate(train, ev, min_shared=2).collect()}
+    assert strict == {1: True, 2: False, 3: False, 4: False, 5: False}

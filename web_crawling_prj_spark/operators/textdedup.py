@@ -205,6 +205,50 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(s == 0, F.array(F.lit(""))).otherwise(sliced))
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the n-gram collision filter every LLM
+    training pipeline runs before training (public practice: GPT-3's 13-gram
+    overlap filter, Brown et al. 2020 Appendix C; PaLM/Llama report 8–13
+    gram variants): flag training documents sharing at least ``min_shared``
+    DISTINCT word ``shingle_n``-grams with ANY eval-set document.
+
+    Output: one row per TRAIN doc — ``(id_col, n_shared, contaminated)``
+    (clean docs included with ``n_shared = 0``, so the result is a total
+    train-set annotation, joinable as a filter).
+
+    Shape (100 TB-ready): the eval side is benchmarks — MBs, never TBs — so
+    its DISTINCT gram set is the broadcast side; the train side explodes its
+    (already-distinct, :func:`shingles_col`) grams and map-side joins: the
+    train corpus never shuffles, the only exchange is the per-doc count
+    groupBy, keyed on ``id_col``. Tokenization/shingling is byte-aligned
+    with the minhash pipeline, so the whole op is DuckDB-oracle-exact
+    (query ``decontamination``)."""
+    tg = train.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_g")
+    )
+    eg = eval_set.select(
+        F.explode(shingles_col(text_col, shingle_n)).alias("_g")
+    ).distinct()
+    hits = (
+        tg.join(F.broadcast(eg), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
+    )
+    return out.withColumn("contaminated", F.col("n_shared") >= min_shared)
+
+
 # --- tier 2.5: exact duplicate-substring SPANS (sub-document dedup) ---
 
 def positional_ngrams_col(text_col: Column | str, n: int) -> Column:
