@@ -1460,6 +1460,57 @@ def q_crawl_rounds_replay(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t.tableName}")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM-perplexity bucketing (Wenzek et al. LREC'20): docs with
+    doc_id % 7 == 0 stand in for the trusted target corpus; every other doc
+    is scored by the additively-smoothed bigram LM trained on it and split
+    head/middle/tail by ascending perplexity. The perplexity is rounded to 6
+    decimals BEFORE the ntile so the global sort (and thus bucket labels) is
+    float-summation-noise-proof across engines."""
+    from web_crawling_prj_spark.operators.lmquality import (
+        perplexity_buckets,
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, totals = train_bigram_lm(
+        d.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
+    )
+    scores = perplexity_scores(
+        d.where(F.col("doc_id") % 7 != 0), uni, bi, totals, "doc_id", "text"
+    ).withColumn("perplexity", F.round("perplexity", 6))
+    return perplexity_buckets(scores, "doc_id")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance resampling (Xie et al. NeurIPS'23):
+    target = doc_id % 7 == 0, raw = the rest; md5-hashed unigram+bigram
+    features in 1024 buckets, per-doc log importance weight, deterministic
+    top-100 resample (md5 tiebreak). log_weight rounded to 6 decimals before
+    ranking for cross-engine order stability."""
+    from web_crawling_prj_spark.operators.lmquality import dsir_log_weights, dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        d.where(F.col("doc_id") % 7 != 0),
+        d.where(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n_buckets=1024,
+    ).withColumn("log_weight", F.round("log_weight", 6))
+    return dsir_resample(w, "doc_id", k=100)
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 keyword relevance (Robertson/Spärck Jones, Lucene variant) of
+    every document against a 3-term query over the synthetic vocabulary."""
+    from web_crawling_prj_spark.operators.relevance import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text", ["spark", "window", "join"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-round pipeline on sf0.001."""
     return q_crawl_rounds(spark, "/root/testdata/sf0.001")
@@ -1568,6 +1619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
         "ann_ivf_topk": q_ann_ivf_topk,  # rows-only, planted-recall golden
         "frontier_cardinality": q_frontier_cardinality,  # rows-only, bound golden
+        # — round-6 additions: statistical LM-quality curation + search —
+        "lm_perplexity": q_lm_perplexity,  # CCNet bigram-LM buckets, value-exact
+        "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
+        "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
     }
 
 
@@ -2881,5 +2936,110 @@ SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
             WHEN s_fr = best THEN 'fr'
             ELSE 'zh' END AS lang
 FROM b
+""",
+        # Bigram-LM perplexity buckets: full DuckDB twin of lmquality.py —
+        # positional tokenizer (filtered-list + generate_subscripts), add-one
+        # unigram backoff inside the single closed-form bigram probability,
+        # round-then-ntile (same float-noise-proofing as the Spark side).
+        "lm_perplexity": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos FROM toks),
+tokp AS (SELECT doc_id, pos, w,
+                lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+         FROM tok),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_uni FROM tokp WHERE doc_id % 7 = 0 GROUP BY w),
+bi AS (SELECT w_prev, w, CAST(count(*) AS BIGINT) AS c_bi
+       FROM tokp WHERE doc_id % 7 = 0 AND w_prev IS NOT NULL GROUP BY w_prev, w),
+tot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS t_tokens, CAST(count(*) AS BIGINT) AS v_vocab FROM uni),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         (COALESCE(u.c_uni, 0) + 1) / (t.t_tokens + t.v_vocab + 1) AS p_uni,
+         COALESCE(b.c_bi, 0) AS cb,
+         COALESCE(up.c_uni, 0) AS cu_prev
+  FROM tokp p
+  LEFT JOIN uni u ON p.w = u.w
+  LEFT JOIN uni up ON p.w_prev = up.w
+  LEFT JOIN bi b ON p.w_prev = b.w_prev AND p.w = b.w
+  CROSS JOIN tot t
+  WHERE p.doc_id % 7 != 0),
+lp AS (SELECT doc_id,
+              CASE WHEN pos = 1 THEN ln(p_uni)
+                   ELSE ln((cb + 1.0e0 * p_uni) / (cu_prev + 1.0e0)) END AS lp
+       FROM scored),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(exp(-sum(lp) / count(*)), 6) AS perplexity
+       FROM lp GROUP BY doc_id)
+SELECT doc_id, n_tokens, perplexity,
+       CASE ntile(3) OVER (ORDER BY perplexity ASC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM sc
+""",
+        # DSIR importance weights: md5-mod-1024 hashed unigram+bigram buckets,
+        # add-one bucket distributions, per-doc sum(cnt·log-ratio), top-100 by
+        # (rounded weight desc, md5(doc_id), doc_id).
+        "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos FROM toks),
+tokp AS (SELECT doc_id, pos, w,
+                lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+         FROM tok),
+feats AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('u:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM tokp
+  UNION ALL
+  SELECT doc_id, CAST(('0x' || substr(md5('b:' || w_prev || ' ' || w), 1, 15)) AS BIGINT) % 1024
+  FROM tokp WHERE w_prev IS NOT NULL),
+docf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM feats WHERE doc_id % 7 != 0 GROUP BY doc_id, bucket),
+ptab AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_p
+         FROM feats WHERE doc_id % 7 = 0 GROUP BY bucket),
+qtab AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_q FROM docf GROUP BY bucket),
+tq AS (SELECT CAST(sum(c_q) AS BIGINT) AS t_q FROM qtab),
+tp AS (SELECT CAST(sum(c_p) AS BIGINT) AS t_p FROM ptab),
+ratio AS (
+  SELECT COALESCE(q.bucket, p.bucket) AS bucket,
+         ln((COALESCE(p.c_p, 0) + 1) / (tp.t_p + 1024))
+         - ln((COALESCE(q.c_q, 0) + 1) / (tq.t_q + 1024)) AS log_ratio
+  FROM qtab q FULL JOIN ptab p ON q.bucket = p.bucket
+  CROSS JOIN tq CROSS JOIN tp),
+w AS (SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_features,
+             round(sum(d.cnt * r.log_ratio), 6) AS log_weight
+      FROM docf d JOIN ratio r ON d.bucket = r.bucket
+      GROUP BY d.doc_id)
+SELECT doc_id, n_features, log_weight,
+       CAST(rk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY log_weight DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM w)
+WHERE rk <= 100
+""",
+        # Lucene-variant BM25 over the 3-term query; constant expressions
+        # written in the same double-precision evaluation order as the Spark
+        # side (1.2e0 + 1, 1 - 0.75 pre-folded to 0.25).
+        "bm25_scores": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS w FROM toks),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE w IN ('join', 'spark', 'window') GROUP BY doc_id, w),
+dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+idf AS (SELECT w, ln(1 + (s.n_docs - df + 0.5e0) / (df + 0.5e0)) AS idf, s.avgdl
+        FROM dfq CROSS JOIN stats s),
+sc AS (SELECT t.doc_id,
+              i.idf * (t.tf * (1.2e0 + 1))
+                / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * d.dl / i.avgdl)) AS s
+       FROM tf t JOIN idf i ON t.w = i.w JOIN dl d ON t.doc_id = d.doc_id)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, sum(s) AS score
+FROM sc GROUP BY doc_id
 """,
     }
