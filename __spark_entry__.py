@@ -1502,6 +1502,19 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic k-means (k=8, 2 Lloyd
+    iterations, md5-ranked seeding) over the embeddings table, then
+    within-cluster cosine pruning at tau=0.4 — the scale path for semantic
+    near-dup removal (pairs compared only inside clusters, never all-pairs).
+    All distances/centroids/cosines rounded to 6 decimals before comparisons
+    so the clustering trajectory is engine- and partitioning-independent."""
+    from web_crawling_prj_spark.operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, k=8, iters=2, tau=0.4)
+
+
 def q_bm25_scores(spark, sf_dir):
     """BM25 keyword relevance (Robertson/Spärck Jones, Lucene variant) of
     every document against a 3-term query over the synthetic vocabulary."""
@@ -1623,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,  # CCNet bigram-LM buckets, value-exact
         "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
         "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
+        "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
     }
 
 
@@ -1859,6 +1873,55 @@ j AS (SELECT m.id_a, m.id_b,
       JOIN sh_all b ON b.id = m.id_b)
 SELECT id_a, id_b, round(jac, 4) AS jaccard, jac >= {dup_threshold} AS is_dup FROM j
 """
+
+
+def _semdedup_oracle_sql(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
+    """Unrolled DuckDB twin of q_semdedup: md5-ranked seeding, one CTE pair
+    (recompute, assign) per Lloyd iteration, the same round-to-6 points
+    before every argmin/comparison, and the dedup rule as a single EXISTS."""
+
+    def assign(i: int, csrc: str) -> str:
+        return (
+            f"a{i} AS (SELECT vec_id, v, cluster FROM ("
+            "SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(list_aggregate(list_transform(range(1, len(e.v) + 1), "
+            "i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])), 'sum'), 6), c.cluster) AS rn "
+            f"FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "seeds AS (SELECT vec_id, v, row_number() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e)",
+        f"c0 AS (SELECT CAST(rk - 1 AS INT) AS cluster, "
+        f"list_transform(v, x -> round(x, 6)) AS cent FROM seeds WHERE rk <= {k})",
+        assign(0, "c0"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"c{t} AS (SELECT cluster, list(val ORDER BY pos) AS cent FROM ("
+            "SELECT cluster, pos, round(avg(val), 6) AS val FROM ("
+            f"SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a{t - 1}) "
+            "GROUP BY cluster, pos) GROUP BY cluster)"
+        )
+        ctes.append(assign(t, f"c{t}"))
+    ctes.append(
+        "scored AS (SELECT a.vec_id, a.v, a.cluster, "
+        "round(list_cosine_similarity(a.v, c.cent), 6) AS centroid_sim "
+        f"FROM a{iters} a JOIN c{iters} c USING (cluster))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.vec_id, s.cluster, s.centroid_sim,
+       NOT EXISTS (SELECT 1 FROM scored t WHERE t.cluster = s.cluster
+                   AND (t.centroid_sim < s.centroid_sim
+                        OR (t.centroid_sim = s.centroid_sim AND t.vec_id < s.vec_id))
+                   AND round(list_cosine_similarity(t.v, s.v), 6) >= {tau}) AS keep
+FROM scored s
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3042,4 +3105,5 @@ sc AS (SELECT t.doc_id,
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, sum(s) AS score
 FROM sc GROUP BY doc_id
 """,
+        "semdedup": _semdedup_oracle_sql(),
     }

@@ -1,0 +1,180 @@
+"""SemDeDup: semantic deduplication via embedding clustering (Abbas et al.
+2023, arXiv:2303.09540).
+
+The scale path for embedding-cosine near-dup detection: all-pairs cosine is
+O(N²) and dies at web scale, so SemDeDup first k-means-clusters the
+embeddings (k grows with N, so clusters stay small) and only compares pairs
+WITHIN a cluster — O(Σ c_i²) ≈ O(N²/k) with perfectly shardable work.
+
+Everything here is deterministic and value-replayable in SQL:
+
+* **k-means** uses md5-ranked seeding (the k vectors with the smallest
+  md5(id) are the initial centroids, cluster ids assigned in md5 order) and a
+  fixed number of Lloyd iterations. Distances and centroid coordinates are
+  rounded (6 decimals) before every argmin / next iteration so the
+  assignment trajectory is identical under any partitioning and any engine's
+  float-summation order.
+* **dedup rule** (the paper keeps the example LEAST similar to its cluster
+  centroid): within each cluster, order points by (centroid_sim ASC, id ASC)
+  — the keep-priority order — and drop a point iff some EARLIER point in
+  that order has cosine ≥ tau with it. One self-join per cluster; fully
+  relational (no iteration), so the DuckDB twin is a single EXISTS.
+
+Scale notes (100 TB): the centroid table is k rows → broadcast; assignment
+is a map-side broadcast join with JVM-native zip_with/aggregate math
+(N·k dot products, no Python); the recompute is a posexplode + two
+partial-aggregable groupBys (N·d rows shuffled once per iteration); the
+pairwise stage shuffles on cluster id and is bounded by the largest cluster
+(pick k ≈ N/1000 per the paper; skewed clusters can be salted or capped the
+same way politeness ranks are).
+
+Reference scope: the reference pipeline has no embedding ops at all
+(SURVEY.md LLM-pipeline extensions); public-paper semantics only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_crawling_prj_spark.operators.similarity import cosine
+
+
+def _dist2(a, b):
+    """Squared L2 distance between two array columns — native fold. Plain
+    multiplication, not pow(x, 2): libm pow need not be bit-identical to x·x
+    and the DuckDB twin multiplies."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_seed_centroids(
+    embeddings: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seeding: the k vectors with the smallest
+    md5(cast(id as string)) become centroids 0..k-1 in md5 order.
+    (cluster int, centroid array<double>)."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        embeddings.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            (F.col("_rk") - 1).cast("int").alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (rounded-distance argmin, cluster-id
+    tiebreak). Centroids broadcast; one partial-aggregable groupBy.
+    Returns (id, vec, cluster)."""
+    paired = embeddings.crossJoin(F.broadcast(centroids))
+    d = F.round(_dist2(F.col(vec_col), F.col("centroid")), 6)
+    return (
+        paired.groupBy(id_col)
+        .agg(
+            F.min(F.struct(d.alias("d"), F.col("cluster").alias("c"))).alias("_m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, F.col("_m.c").alias("cluster"))
+    )
+
+
+def _recompute(assigned: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean per cluster, coordinates rounded to 6 decimals.
+    posexplode + (cluster, pos) avg + ordered reassembly — both groupBys
+    partial-aggregable."""
+    per_dim = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).groupBy("cluster", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("val")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+        ).alias("centroid")
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration deterministic Lloyd's. Returns (assigned, centroids):
+    assigned = (id, vec, cluster), centroids = (cluster, centroid).
+
+    ``iters`` recomputes: seed → assign → [recompute → assign] × iters.
+    Centroid tables are tiny (k rows) and localCheckpoint-free — the lineage
+    is iters·2 joins deep, fine for small fixed iters; checkpoint upstream
+    for large ``iters``."""
+    cents = kmeans_seed_centroids(embeddings, k, id_col, vec_col)
+    assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+    for _ in range(iters):
+        cents = _recompute(assigned, id_col, vec_col)
+        assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+    return assigned, cents
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup pass. Returns (id, cluster, centroid_sim, keep) for
+    every input row: keep=false iff an earlier point in the cluster's
+    keep-priority order (centroid_sim ASC, id ASC) has cosine ≥ tau with it.
+    Cosines rounded to 6 decimals before every comparison."""
+    assigned, cents = kmeans(embeddings, k, iters, id_col, vec_col)
+    scored = assigned.join(F.broadcast(cents), "cluster").select(
+        id_col,
+        vec_col,
+        "cluster",
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("centroid_sim"),
+    )
+    a = scored.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col("centroid_sim").alias("_a_sim"),
+    )
+    b = scored.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        F.col("centroid_sim").alias("_b_sim"),
+    )
+    earlier = (F.col("_a_sim") < F.col("_b_sim")) | (
+        (F.col("_a_sim") == F.col("_b_sim")) & (F.col("_a_id") < F.col("_b_id"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(earlier)
+        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        scored.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            "centroid_sim",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
