@@ -1502,6 +1502,16 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_focus_relevance(spark, sf_dir):
+    """Focused-crawl parent relevance (operators/focus.py, WWW'99): the
+    saturated BM25 topic score rel = s/(s + 2) that the crawl loop blends
+    into discovered-link priorities, over the documents table."""
+    from web_crawling_prj_spark.operators.focus import page_relevance
+
+    d = _t(spark, sf_dir, "documents")
+    return page_relevance(d, ["spark", "window", "join"], key="doc_id", text_col="text")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic k-means (k=8, 2 Lloyd
     iterations, md5-ranked seeding) over the embeddings table, then
@@ -1637,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
         "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
         "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
+        "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
     }
 
 
@@ -3106,4 +3117,25 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, sum(s) AS score
 FROM sc GROUP BY doc_id
 """,
         "semdedup": _semdedup_oracle_sql(),
+        # saturated BM25 relevance: the bm25_scores twin + rel = s/(s+2)
+        "focus_relevance": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(tl) AS w FROM toks),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE w IN ('join', 'spark', 'window') GROUP BY doc_id, w),
+dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+idf AS (SELECT w, ln(1 + (s.n_docs - df + 0.5e0) / (df + 0.5e0)) AS idf, s.avgdl
+        FROM dfq CROSS JOIN stats s),
+sc AS (SELECT t.doc_id,
+              i.idf * (t.tf * (1.2e0 + 1))
+                / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * d.dl / i.avgdl)) AS s
+       FROM tf t JOIN idf i ON t.w = i.w JOIN dl d ON t.doc_id = d.doc_id),
+agg AS (SELECT doc_id, round(sum(s), 6) AS s6 FROM sc GROUP BY doc_id)
+SELECT doc_id, s6 / (s6 + 2.0e0) AS relevance FROM agg
+""",
     }

@@ -111,6 +111,16 @@ class CrawlConfig:
     # rewrite is already O(backlog), so the blend does not change its
     # complexity class).
     pagerank_every: int = 1
+    # focused crawling (operators.focus, WWW'99): when focus_weight > 0 and
+    # focus_terms is non-empty, each round BM25-scores the pages it fetched
+    # against the terms and blends the parent's saturated relevance into the
+    # priority of the links that page discovered (children of off-topic or
+    # text-less parents blend 0). Delta-sized — the scorer sees only this
+    # round's fetch log — and deterministic (rounded sums), so resume /
+    # parallelism invariants hold with it enabled. Default off: flagship
+    # ordering unchanged.
+    focus_terms: tuple = ()
+    focus_weight: float = 0.0
     # crawl-trap budgeting (operators.traps): cap how many URLs of one URL
     # TEMPLATE (volatile tokens collapsed) may be scheduled per round
     # (0 = off). Cut rows are NOT dropped — they stay pending (legacy: in
@@ -988,6 +998,22 @@ def _run_round(
             .select(*FRONTIER_COLS)
         )
         discovered = discovered.unionByName(terminals)
+
+    # 8c) focused crawling (WWW'99): blend each parent page's BM25 topic
+    # relevance into its children's priority. Scorer input is THIS round's
+    # fetch log only (delta-sized); the rel table is per-round-small and
+    # broadcasts. Redirect terminals blend their 3xx source's relevance,
+    # which is 0 (no text) — off-topic-by-default, the soft-focus rule.
+    if cfg.focus_weight > 0 and cfg.focus_terms:
+        from web_crawling_prj_spark.operators.focus import (
+            blend_child_priority,
+            page_relevance,
+        )
+
+        rel = page_relevance(fetch_log, list(cfg.focus_terms))
+        discovered = blend_child_priority(
+            discovered, rel, weight=cfg.focus_weight
+        ).select(*FRONTIER_COLS)
 
     # dedup preference (both modes): in-flight retry state (attempt, backoff)
     # must survive a fresh rediscovery of the same URL — otherwise attempt
