@@ -1502,6 +1502,38 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_gopher_gates(spark, sf_dir):
+    """Gopher quality-filter rule set (Rae et al. 2021, A1.1) over documents.
+    The synthetic corpus is uniform (every doc would pass or fail the same
+    rules — a degenerate oracle), so the text is augmented deterministically
+    per doc_id in BOTH engines: %13 → tiny doc (word-count gate), %11 →
+    bullet-line flood, %7 → '#' symbols, %5 → ellipsis-ended lines, %3 →
+    numeric words (alpha-ratio gate), %2 → the required stop words (without
+    which the vocab has only 'the' and rule 7 would fail uniformly)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.when(did % 13 == 0, F.lit("tiny # doc")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(did % 11 == 0, F.lit("\n- one\n- two\n" * 10)).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" " + "# " * 15)).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("\nto be continued...\nmore soon...")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 3 == 0, F.lit(" " + "12345 " * 40)).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit(" to be of and that have with")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    m = T.gopher_metrics(aug)
+    return d.select(
+        "doc_id",
+        *[c.alias(k) for k, c in m.items()],
+        T.gopher_pass(m).alias("passes"),
+    )
+
+
 def q_focus_relevance(spark, sf_dir):
     """Focused-crawl parent relevance (operators/focus.py, WWW'99): the
     saturated BM25 topic score rel = s/(s + 2) that the crawl loop blends
@@ -1648,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
         "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
         "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
+        "gopher_gates": q_gopher_gates,  # Gopher A1.1 quality rules, value-exact
     }
 
 
@@ -3137,5 +3170,43 @@ sc AS (SELECT t.doc_id,
        FROM tf t JOIN idf i ON t.w = i.w JOIN dl d ON t.doc_id = d.doc_id),
 agg AS (SELECT doc_id, round(sum(s), 6) AS s6 FROM sc GROUP BY doc_id)
 SELECT doc_id, s6 / (s6 + 2.0e0) AS relevance FROM agg
+""",
+        # Gopher A1.1 twin: identical per-residue augmentation, list-native
+        # metric re-derivation, same round-to-6 and conjunctive gate.
+        "gopher_gates": r"""
+WITH a AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN 'tiny # doc' ELSE
+      text
+      || CASE WHEN doc_id % 11 = 0 THEN repeat(chr(10) || '- one' || chr(10) || '- two' || chr(10), 10) ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('# ', 15) ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'more soon...' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' ' || repeat('12345 ', 40) ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN ' to be of and that have with' ELSE '' END
+    END AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(t, chr(10)), x -> trim(x) <> '') AS lines
+  FROM a),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    round(CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, x -> length(x)), 'sum') / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(words) > 0 THEN len(regexp_extract_all(t, '#|\.\.\.|…')) / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) AS symbol_word_ratio,
+    round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(trim(x), '^[•‣▪\-\*]'))) / CAST(len(lines) AS DOUBLE) ELSE 0 END, 6) AS bullet_line_ratio,
+    round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / CAST(len(lines) AS DOUBLE) ELSE 0 END, 6) AS ellipsis_line_ratio,
+    round(CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) AS alpha_word_ratio,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(words, x -> lower(x)), s))) AS BIGINT) AS n_stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_stop_hits,
+       (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        AND n_stop_hits >= 2) AS passes
+FROM m
 """,
     }

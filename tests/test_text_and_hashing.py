@@ -116,3 +116,40 @@ def test_canonical_link_extraction(spark):
     # binary html (the pages-table shape) decodes transparently
     b = spark.createDataFrame([(cases[0][0].encode(),)], "html binary")
     assert b.select(canonical_link("html").alias("c")).first()["c"] == "https://x/1"
+
+
+def test_gopher_metrics_and_gate(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawling_prj_spark.functions.text import gopher_metrics, gopher_pass
+
+    good = "the data " + "pipeline runs well and we have results to share with care " * 6
+    cases = [
+        (0, good),                                # passes every rule
+        (1, "too short to have the words"),       # < 50 words
+        (2, good + " " + "# " * 30),              # symbol ratio > 0.1
+        (3, good + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # >90% bullets
+        (4, good + "\nwait...\nmore...\nsoon..."),  # >30% ellipsis-ended lines
+        (5, good + " " + "12345 " * 80),          # alpha ratio < 0.8
+        (6, "zz " * 60),                          # no required stop words
+    ]
+    df = spark.createDataFrame(cases, "i long, text string")
+    m = gopher_metrics(F.col("text"))
+    out = {
+        r.i: r
+        for r in df.select("i", *[c.alias(k) for k, c in m.items()],
+                           gopher_pass(m).alias("p")).collect()
+    }
+    assert out[0].p is True
+    assert out[1].p is False and out[1].n_words < 50
+    assert out[2].p is False and out[2].symbol_word_ratio > 0.1
+    assert out[3].p is False and out[3].bullet_line_ratio > 0.9
+    assert out[4].p is False and out[4].ellipsis_line_ratio > 0.3
+    assert out[5].p is False and out[5].alpha_word_ratio < 0.8
+    assert out[6].p is False and out[6].n_stop_hits == 0
+    # metric spot checks on the clean doc
+    r0 = out[0]
+    words = good.split()
+    assert r0.n_words == len(words)
+    assert r0.mean_word_len == round(sum(map(len, words)) / len(words), 6)
+    assert r0.alpha_word_ratio == 1.0 and r0.n_stop_hits >= 2

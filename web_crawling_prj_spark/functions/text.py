@@ -194,6 +194,67 @@ def terminal_punct_ratio(text: Column | str) -> Column:
     )
 
 
+#: Gopher rule-7 required stop words (Rae et al. 2021, Appendix A1.1).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_metrics(text: Column | str) -> dict[str, Column]:
+    """The Gopher quality-filter signals (Rae et al. 2021, A1.1), all native
+    array/regexp expressions — no Python on the data plane, SQL-replayable.
+
+    Keys: n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, n_stop_hits. Ratios rounded to 6.
+    """
+    t = _c(text)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    safe = F.when(n_words > 0, n_words.cast("double"))  # NULL-div guard
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…")).cast("long")
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    safe_lines = F.when(n_lines > 0, n_lines.cast("double"))
+    bullets = F.filter(lines, lambda x: F.trim(x).rlike(r"^[•‣▪\-\*]"))
+    ellipsis_end = F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    alpha_words = F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.transform(words, F.lower), s),
+        )
+    ).cast("long")
+    r6 = lambda c: F.round(F.coalesce(c, F.lit(0.0)), 6)
+    return {
+        "n_words": n_words,
+        "mean_word_len": r6(total_chars / safe),
+        "symbol_word_ratio": r6(symbols / safe),
+        "bullet_line_ratio": r6(F.size(bullets) / safe_lines),
+        "ellipsis_line_ratio": r6(F.size(ellipsis_end) / safe_lines),
+        "alpha_word_ratio": r6(F.size(alpha_words) / safe),
+        "n_stop_hits": stop_hits,
+    }
+
+
+def gopher_pass(m: dict[str, Column]) -> Column:
+    """The conjunctive Gopher gate over gopher_metrics(): word count in
+    [50, 100000], mean word length in [3, 10], symbol/word ≤ 0.1, ≤ 90%
+    bullet lines, ≤ 30% ellipsis-ended lines, ≥ 80% alphabetic words, and
+    ≥ 2 distinct required stop words."""
+    return (
+        m["n_words"].between(50, 100_000)
+        & m["mean_word_len"].between(3.0, 10.0)
+        & (m["symbol_word_ratio"] <= 0.1)
+        & (m["bullet_line_ratio"] <= 0.9)
+        & (m["ellipsis_line_ratio"] <= 0.3)
+        & (m["alpha_word_ratio"] >= 0.8)
+        & (m["n_stop_hits"] >= 2)
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Exact-duplicate fingerprint: xxhash64 of the raw text (native, 64-bit)."""
     return F.xxhash64(_c(text))
