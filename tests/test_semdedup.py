@@ -120,3 +120,19 @@ def test_kmeans_assign_is_nearest(spark):
     )
     got = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_assignment_tiers_equal_and_shuffle_free(spark):
+    """literal ≡ pandas assignment on real embeddings; the literal tier's
+    plan contains no Exchange (pure map-side projection)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_seed_centroids(e, k=6)
+    lit = kmeans_assign(e, cents, strategy="literal")
+    pdu = kmeans_assign(e, cents, strategy="pandas")
+    got_l = sorted((r.vec_id, r.cluster) for r in lit.collect())
+    got_p = sorted((r.vec_id, r.cluster) for r in pdu.collect())
+    assert got_l == got_p
+    plan = lit._sc._jvm.PythonSQLUtils.explainString(
+        lit._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan and "Join" not in plan

@@ -69,25 +69,83 @@ def kmeans_seed_centroids(
     )
 
 
+#: literal-expression assignment is used up to this many k·d literals; past
+#: it the Arrow/numpy tier takes over (codegen'd expressions of unbounded
+#: size stress the JVM constant pool and compile time).
+_LITERAL_BUDGET = 8192
+
+
 def kmeans_assign(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (rounded-distance argmin, cluster-id
-    tiebreak). Centroids broadcast; one partial-aggregable groupBy.
-    Returns (id, vec, cluster)."""
-    paired = embeddings.crossJoin(F.broadcast(centroids))
-    d = F.round(_dist2(F.col(vec_col), F.col("centroid")), 6)
-    return (
-        paired.groupBy(id_col)
-        .agg(
-            F.min(F.struct(d.alias("d"), F.col("cluster").alias("c"))).alias("_m"),
-            F.first(vec_col).alias(vec_col),
-        )
-        .select(id_col, vec_col, F.col("_m.c").alias("cluster"))
+    tiebreak). Returns (id, vec, cluster) with ZERO shuffles — the centroid
+    table is k·d doubles, so it ships to tasks as data, never via a join:
+
+    * ``'literal'`` (default for small k·d): centroids inlined as literal
+      arrays, argmin as ``array_min`` over (dist, cluster) structs — pure
+      whole-stage-codegen projection.
+    * ``'pandas'`` (default past _LITERAL_BUDGET; the 100 TB path for
+      SemDeDup-scale k): one Arrow-batched mapInPandas with a BLAS matmul
+      per batch (‖x‖² + ‖c‖² − 2x·cᵀ), distances rounded to 6 before the
+      argmin exactly like the literal tier — the tiers are equality-tested.
+
+    Both tiers collect the centroids driver-side first: k-means materializes
+    each iteration anyway, and k·d is bounded by design (SemDeDup's k grows
+    with N but centroids stay ~MBs at k=50k·d=768)."""
+    rows = (
+        sorted((r["cluster"], list(r["centroid"])) for r in centroids.collect())
+        if isinstance(centroids, DataFrame)
+        else sorted(centroids)
     )
+    if not rows:
+        raise ValueError("kmeans_assign: empty centroid set")
+    dim = len(rows[0][1])
+    if strategy is None:
+        strategy = "literal" if len(rows) * dim <= _LITERAL_BUDGET else "pandas"
+
+    if strategy == "literal":
+        cands = []
+        for cid, cent in rows:
+            lit = F.array(*[F.lit(float(x)) for x in cent])
+            d = F.round(_dist2(F.col(vec_col), lit), 6)
+            cands.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
+        best = F.array_min(F.array(*cands))
+        return embeddings.select(id_col, vec_col, best["c"].alias("cluster"))
+
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    C = np.array([cent for _, cent in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            # values arrive as exact doubles of the stored type (float32
+            # upcasts losslessly) — same numeric start as the literal tier
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = np.round((X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cluster": cids[np.argmin(d2, axis=1)],  # ties → first = lowest cid
+                }
+            )
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    src = embeddings.select(id_col, vec_col)
+    # fresh StructType — StructType.add MUTATES the df's cached schema object
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+    return src.mapInPandas(assign_batches, schema=out_schema)
 
 
 def _recompute(assigned: DataFrame, id_col: str, vec_col: str) -> DataFrame:
