@@ -1502,6 +1502,19 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Relational BPE merge learning (Sennrich ACL'16, operators/bpe.py):
+    8 merges learned on the documents word-frequency table; output is every
+    word's final segmentation. The whole merge trajectory — pair counts,
+    argmax with (cnt DESC, pair ASC) tiebreak, leftmost-non-overlapping
+    merges — is value-replayed by an unrolled DuckDB twin."""
+    from web_crawling_prj_spark.operators.bpe import bpe_learn
+
+    d = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_learn(d, "text", n_merges=8)
+    return vocab
+
+
 def q_gopher_gates(spark, sf_dir):
     """Gopher quality-filter rule set (Rae et al. 2021, A1.1) over documents.
     The synthetic corpus is uniform (every doc would pass or fail the same
@@ -1681,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
         "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
         "gopher_gates": q_gopher_gates,  # Gopher A1.1 quality rules, value-exact
+        "bpe_vocab": q_bpe_vocab,  # BPE merge learning (ACL'16), value-exact
     }
 
 
@@ -1965,6 +1979,43 @@ SELECT s.vec_id, s.cluster, s.centroid_sim,
                    AND round(list_cosine_similarity(t.v, s.v), 6) >= {tau}) AS keep
 FROM scored s
 """
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled DuckDB twin of q_bpe_vocab: one (pairs, best, merge) CTE
+    triple per step. Merging is plain (non-regex) replace over the
+    '|sym||sym|' wrapped representation — identical leftmost-non-overlap
+    semantics in both engines; range(1, len) is end-exclusive, so the
+    1-symbol word needs no guard here (unlike Spark's sequence)."""
+    sym = r"string_split(regexp_replace(seq, '^\|(.*)\|$', '\1'), '||')"
+    # every s{i} is referenced twice (pair counts + next step) — MATERIALIZED
+    # or DuckDB's inlining blows up 2^n_merges (same trap as the HITS oracle)
+    ctes = [
+        r"""tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> t <> '')) AS word FROM documents)""",
+        "wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word)",
+        r"""s0 AS MATERIALIZED (SELECT word, freq,
+            '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM wf)""",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (SELECT pair, sum(freq) AS cnt FROM (
+  SELECT freq, unnest(list_transform(range(1, len(arr)), j -> arr[j] || '||' || arr[j + 1])) AS pair
+  FROM (SELECT freq, {sym} AS arr FROM s{i})) GROUP BY pair)"""
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT pair FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (SELECT word, freq, replace(seq,
+  (SELECT '|' || split_part(pair, '||', 1) || '||' || split_part(pair, '||', 2) || '|' FROM b{i}),
+  (SELECT '|' || replace(pair, '||', '') || '|' FROM b{i})) AS seq FROM s{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT word, freq, seq, CAST(len({sym}) AS INT) AS n_symbols FROM s{n_merges}"
     )
 
 
@@ -3150,6 +3201,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, sum(s) AS score
 FROM sc GROUP BY doc_id
 """,
         "semdedup": _semdedup_oracle_sql(),
+        "bpe_vocab": _bpe_oracle_sql(),
         # saturated BM25 relevance: the bm25_scores twin + rel = s/(s+2)
         "focus_relevance": r"""
 WITH toks AS (

@@ -525,6 +525,10 @@ HEADLINE = [
     "dup_ngram_spans",
     "boilerplate_removal",
     "sequence_packing",
+    # round-6 additions
+    "lm_perplexity",
+    "semdedup",
+    "gopher_gates",
 ]
 
 
