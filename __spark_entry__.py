@@ -1502,6 +1502,37 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_ccnet_pipeline(spark, sf_dir):
+    """End-to-end CCNet-shaped curation pipeline (Wenzek LREC'20) — the
+    COMPOSITION of three independently-certified operators, value-replayed
+    as one composed oracle: (1) lang-ID keeps docs predicted 'en',
+    (2) exact dedup keeps the min-doc_id representative per md5(text)
+    fingerprint, (3) the bigram-LM (trained on the kept docs' doc_id%7==0
+    split) buckets the kept rest head/middle/tail by rounded perplexity.
+    One engine-level plan end to end — no materialization between stages."""
+    from web_crawling_prj_spark.operators.lmquality import (
+        perplexity_buckets,
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(T.lang_id("text") == "en")
+    w = Window.partitionBy(F.md5("text"))
+    kept = (
+        en.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .where(F.col("_keep"))
+        .drop("_keep")
+    )
+    uni, bi, totals = train_bigram_lm(
+        kept.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
+    )
+    scores = perplexity_scores(
+        kept.where(F.col("doc_id") % 7 != 0), uni, bi, totals, "doc_id", "text"
+    ).withColumn("perplexity", F.round("perplexity", 6))
+    return perplexity_buckets(scores, "doc_id")
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Relational BPE merge learning (Sennrich ACL'16, operators/bpe.py):
     8 merges learned on the documents word-frequency table; output is every
@@ -1695,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
         "gopher_gates": q_gopher_gates,  # Gopher A1.1 quality rules, value-exact
         "bpe_vocab": q_bpe_vocab,  # BPE merge learning (ACL'16), value-exact
+        "ccnet_pipeline": q_ccnet_pipeline,  # composed langid→dedup→LM, value-exact
     }
 
 
@@ -3202,6 +3234,59 @@ FROM sc GROUP BY doc_id
 """,
         "semdedup": _semdedup_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(),
+        # composed CCNet pipeline: the lang_id twin (tie-priority en-first) →
+        # min-doc_id dedup per md5(text) → the lm_perplexity twin over `kept`
+        "ccnet_pipeline": r"""
+WITH ls AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(của|và|là|không|người|trong|được|có|cho|này)\b')) AS s_vi,
+    len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents),
+en AS (
+  SELECT doc_id, text FROM (SELECT *, greatest(s_en, s_de, s_vi, s_fr, s_zh) AS best FROM ls)
+  WHERE best > 0 AND s_en = best),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS kid FROM en)
+  WHERE doc_id = kid),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tl
+  FROM kept),
+tok AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos FROM toks),
+tokp AS (SELECT doc_id, pos, w,
+                lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+         FROM tok),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_uni FROM tokp WHERE doc_id % 7 = 0 GROUP BY w),
+bi AS (SELECT w_prev, w, CAST(count(*) AS BIGINT) AS c_bi
+       FROM tokp WHERE doc_id % 7 = 0 AND w_prev IS NOT NULL GROUP BY w_prev, w),
+tot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS t_tokens, CAST(count(*) AS BIGINT) AS v_vocab FROM uni),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         (COALESCE(u.c_uni, 0) + 1) / (t.t_tokens + t.v_vocab + 1) AS p_uni,
+         COALESCE(b.c_bi, 0) AS cb,
+         COALESCE(up.c_uni, 0) AS cu_prev
+  FROM tokp p
+  LEFT JOIN uni u ON p.w = u.w
+  LEFT JOIN uni up ON p.w_prev = up.w
+  LEFT JOIN bi b ON p.w_prev = b.w_prev AND p.w = b.w
+  CROSS JOIN tot t
+  WHERE p.doc_id % 7 != 0),
+lp AS (SELECT doc_id,
+              CASE WHEN pos = 1 THEN ln(p_uni)
+                   ELSE ln((cb + 1.0e0 * p_uni) / (cu_prev + 1.0e0)) END AS lp
+       FROM scored),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(exp(-sum(lp) / count(*)), 6) AS perplexity
+       FROM lp GROUP BY doc_id)
+SELECT doc_id, n_tokens, perplexity,
+       CASE ntile(3) OVER (ORDER BY perplexity ASC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM sc
+""",
         # saturated BM25 relevance: the bm25_scores twin + rel = s/(s+2)
         "focus_relevance": r"""
 WITH toks AS (
