@@ -1616,40 +1616,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-6 WINDOW ROTATION (VERDICT r5 'next' #1): the driver certifies the
-    # FIRST 50 entries. Rounds 1–5 re-certified the same 49 long-stable rows
-    # while 27 newer oracle-backed queries (WARC / RFC robots / sitemaps /
-    # recrawl / redirects / eTLD+1 / canonical / cuckoo / span-dedup / HLL /
-    # OPIC / HITS / reputation / sampling / packing / …) only had local
-    # check_oracle runs for their record. This round the window holds 22
-    # structurally-distinct long-certified rows + the rows-only flagship
-    # crawl_rounds + all 27 previously-past-window oracle queries, so every
-    # round-5 operator family gets a durable driver certification. The 29
-    # rotated-out queries remain registered (past the window) and stay covered
-    # by tools/check_oracle.py runs + their value-asserting goldens.
+    # WINDOW ROTATION (the per-round certification policy since round 6): the
+    # driver certifies the FIRST 50 entries, so each round the window keeps a
+    # core of structurally-distinct rows + the flagship pair and swaps
+    # long-certified relational rows out for the NEWEST oracle queries, giving
+    # every new operator family a durable driver record. Round 6 session 2:
+    # the 8 round-6 curation queries (bigram-LM perplexity, DSIR, BM25,
+    # SemDeDup, focused-crawl relevance, Gopher gates, BPE learning, composed
+    # CCNet pipeline) rotate IN; 8 relational keepers certified green r1–r6
+    # (pricing/window/LAG/anti/semi/pivot/md5/json) rotate out — they remain
+    # registered past the window and covered by tools/check_oracle.py runs.
     return {
-        # — 22 keepers: one per structural family, certified green r1–r5 —
+        # — keepers: one per structural family, certified green r1–r5 —
         "frontier_dedup": q_frontier_dedup,  # anti-join frontier∖seen (bloom tier)
         "politeness_topk": q_politeness_topk,  # salted two-level per-host rank
         "robots_gate": q_robots_gate,  # NOT LIKE predicate gate
         "host_freq_cms": q_host_freq_cms,  # count-min sketch
         "error_classification": q_error_classification,  # parity table
         "retry_backoff": q_retry_backoff,  # budgets + per-class backoff
-        "pricing_summary": q_pricing_summary,  # TPC-H-style wide agg
-        "top_order_per_cust": q_top_order_per_cust,  # window top-1
-        "lag_purchase_delta": q_lag_purchase_delta,  # LAG
-        "customers_no_orders": q_customers_no_orders,  # relational anti-join
         "revenue_by_nation": q_revenue_by_nation,  # multi-join agg
         "halfyear_recon": q_halfyear_recon,  # full outer join
-        "semi_join_bigorders": q_semi_join_bigorders,  # semi-join via IN
-        "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
         "scd2_rebuild": q_scd2_rebuild,  # SCD2 merge + latest flags
         "decontamination": q_decontamination,  # eval-set n-gram overlap filter, value-exact
-        "md5_business_key": q_md5_business_key,  # F1 row hash
-        "json_props_extract": q_json_props_extract,  # F12 JSON path
         "asof_purchase_before_error": q_asof_purchase_before_error,  # as-of join
         "sessionize_events": q_sessionize_events,  # sessionization
         "run_summary": q_run_summary,  # crawl run metrics
+        # — round-6 curation layer, in-window for the first time —
+        "lm_perplexity": q_lm_perplexity,  # CCNet bigram-LM buckets, value-exact
+        "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
+        "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
+        "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
+        "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
+        "gopher_gates": q_gopher_gates,  # Gopher A1.1 quality rules, value-exact
+        "bpe_vocab": q_bpe_vocab,  # BPE merge learning (ACL'16), value-exact
+        "ccnet_pipeline": q_ccnet_pipeline,  # composed langid→dedup→LM, value-exact
         # — rows-only integration flagship, pinned in-window, plus its
         #   value-exact replay twin (full two-round DuckDB replay oracle) —
         "crawl_rounds": q_crawl_rounds,
@@ -1718,15 +1718,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,  # rows-only, pixel-level goldens
         "ann_ivf_topk": q_ann_ivf_topk,  # rows-only, planted-recall golden
         "frontier_cardinality": q_frontier_cardinality,  # rows-only, bound golden
-        # — round-6 additions: statistical LM-quality curation + search —
-        "lm_perplexity": q_lm_perplexity,  # CCNet bigram-LM buckets, value-exact
-        "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
-        "bm25_scores": q_bm25_scores,  # BM25 relevance, value-exact
-        "semdedup": q_semdedup,  # k-means + in-cluster cosine pruning, value-exact
-        "focus_relevance": q_focus_relevance,  # focused-crawl parent score, value-exact
-        "gopher_gates": q_gopher_gates,  # Gopher A1.1 quality rules, value-exact
-        "bpe_vocab": q_bpe_vocab,  # BPE merge learning (ACL'16), value-exact
-        "ccnet_pipeline": q_ccnet_pipeline,  # composed langid→dedup→LM, value-exact
+        # — rotated out of the window in round 6 (certified green r1–r6) —
+        "pricing_summary": q_pricing_summary,  # TPC-H-style wide agg
+        "top_order_per_cust": q_top_order_per_cust,  # window top-1
+        "lag_purchase_delta": q_lag_purchase_delta,  # LAG
+        "customers_no_orders": q_customers_no_orders,  # relational anti-join
+        "semi_join_bigorders": q_semi_join_bigorders,  # semi-join via IN
+        "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
+        "md5_business_key": q_md5_business_key,  # F1 row hash
+        "json_props_extract": q_json_props_extract,  # F12 JSON path
     }
 
 
