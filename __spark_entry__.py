@@ -1502,6 +1502,34 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Linear quality classifier (GPT-3 §A / fastText recipe,
+    operators/qualityclf.py): positives = docs with doc_id%7==0 augmented
+    with a tripled quality-marker phrase (the synthetic corpus is one
+    distribution — the marker plants a separable signal in BOTH engines),
+    negatives = the doc_id%7==1 split raw (BALANCED classes: an unbalanced
+    6:1 split just teaches the bias the prior and saturates the sigmoid);
+    6 full-batch GD steps at eta=10 over 256 buckets; every
+    doc then scored with the marker present iff doc_id%2==0. The whole GD
+    trajectory (rounded weights each step) replays in SQL."""
+    from web_crawling_prj_spark.operators.qualityclf import score_quality, train_logistic
+
+    d = _t(spark, sf_dir, "documents")
+    marker = F.lit(" curated corpus marker quality" * 3)
+    pos = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat("text", marker).alias("text")
+    )
+    neg = d.where(F.col("doc_id") % 7 == 1).select("doc_id", "text")
+    w = train_logistic(pos, neg, "doc_id", "text", n_buckets=256, steps=6, eta=10.0)
+    score_docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat("text", marker))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return score_quality(score_docs, w, "doc_id", "text", n_buckets=256)
+
+
 def q_ccnet_pipeline(spark, sf_dir):
     """End-to-end CCNet-shaped curation pipeline (Wenzek LREC'20) — the
     COMPOSITION of three independently-certified operators, value-replayed
@@ -1727,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
         "md5_business_key": q_md5_business_key,  # F1 row hash
         "json_props_extract": q_json_props_extract,  # F12 JSON path
+        # — round-6 session-3 addition (rotate in-window next round) —
+        "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
     }
 
 
@@ -2010,6 +2040,71 @@ SELECT s.vec_id, s.cluster, s.centroid_sim,
                         OR (t.centroid_sim = s.centroid_sim AND t.vec_id < s.vec_id))
                    AND round(list_cosine_similarity(t.v, s.v), 6) >= {tau}) AS keep
 FROM scored s
+"""
+    )
+
+
+def _quality_clf_oracle_sql(steps: int = 3, n_buckets: int = 256, eta: float = 1.0) -> str:
+    """Unrolled DuckDB twin of q_quality_classifier: shared feature-CTE
+    template (hashed n-grams, L1-normalized, bias bucket −1), one
+    (margin, gradient, weights) CTE triple per GD step — weights MATERIALIZED
+    (each w{t} is read twice)."""
+
+    def feat_ctes(name: str, src: str, cols: str) -> list[str]:
+        return [
+            f"""tl_{name} AS (SELECT {cols}, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t <> '') AS tl FROM {src})""",
+            f"""tp_{name} AS (SELECT {cols}, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+  FROM (SELECT {cols}, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos FROM tl_{name}))""",
+            f"""fc_{name} AS (SELECT {cols}, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT {cols}, CAST(('0x' || substr(md5('u:' || w), 1, 15)) AS BIGINT) % {n_buckets} AS bucket FROM tp_{name}
+  UNION ALL
+  SELECT {cols}, CAST(('0x' || substr(md5('b:' || w_prev || ' ' || w), 1, 15)) AS BIGINT) % {n_buckets}
+  FROM tp_{name} WHERE w_prev IS NOT NULL) GROUP BY {cols}, bucket)""",
+            f"""f_{name} AS MATERIALIZED (
+  SELECT {cols}, bucket, cnt / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS x FROM fc_{name}
+  UNION ALL
+  SELECT DISTINCT {cols}, -1 AS bucket, 1.0e0 AS x FROM fc_{name})""",
+        ]
+
+    ctes = [
+        """train AS (
+  SELECT doc_id, text || repeat(' curated corpus marker quality', 3) AS text, 1.0e0 AS y
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text, 0.0e0 AS y FROM documents WHERE doc_id % 7 = 1)""",
+        *feat_ctes("t", "train", "doc_id, y"),
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM f_t)",
+        f"""w1 AS MATERIALIZED (SELECT bucket,
+  round(-({eta!r} * (sum(x * (0.5e0 - y)) / (SELECT n FROM nd))), 6) AS w FROM f_t GROUP BY bucket)""",
+    ]
+    for t in range(1, steps):
+        ctes.append(
+            f"""m{t} AS (SELECT doc_id, y, 1.0e0 / (1.0e0 + exp(-sum(x * COALESCE(w, 0.0e0)))) AS p
+  FROM f_t LEFT JOIN w{t} USING (bucket) GROUP BY doc_id, y)"""
+        )
+        ctes.append(
+            f"""g{t} AS (SELECT bucket, sum(f.x * (m.p - f.y)) / (SELECT n FROM nd) AS g
+  FROM f_t f JOIN m{t} m USING (doc_id) GROUP BY bucket)"""
+        )
+        ctes.append(
+            f"""w{t + 1} AS MATERIALIZED (SELECT bucket,
+  round(COALESCE(w, 0.0e0) - ({eta!r} * COALESCE(g, 0.0e0)), 6) AS w
+  FROM w{t} FULL JOIN g{t} USING (bucket))"""
+        )
+    ctes.append(
+        """scoredocs AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN text || repeat(' curated corpus marker quality', 3) ELSE text END AS text
+  FROM documents)"""
+    )
+    ctes.extend(feat_ctes("s", "scoredocs", "doc_id"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, CAST(count(*) - 1 AS BIGINT) AS n_features,
+       round(1.0e0 / (1.0e0 + exp(-sum(x * COALESCE(w, 0.0e0)))), 6) AS score
+FROM f_s LEFT JOIN w{steps} USING (bucket) GROUP BY doc_id
 """
     )
 
@@ -3234,6 +3329,7 @@ FROM sc GROUP BY doc_id
 """,
         "semdedup": _semdedup_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(),
+        "quality_classifier": _quality_clf_oracle_sql(steps=6, eta=10.0),
         # composed CCNet pipeline: the lang_id twin (tie-priority en-first) →
         # min-doc_id dedup per md5(text) → the lm_perplexity twin over `kept`
         "ccnet_pipeline": r"""
