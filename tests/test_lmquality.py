@@ -224,3 +224,30 @@ def test_perplexity_buckets_approx_tracks_exact(spark):
     agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
     assert agree >= 0.9, f"approx/exact bucket agreement {agree:.2%}"
     assert set(approx.values()) == {"head", "middle", "tail"}
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def test_curation_plans_broadcast_models_and_stay_jvm_side(spark):
+    """Plan-shape pins for the curation layer: the LM/BM25 model tables
+    reach the scoring join as BroadcastExchange (never SortMergeJoin on the
+    doc side), and no Python eval node appears anywhere — all three scorers
+    are pure native-expression plans."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = F.col("doc_id") % 7
+
+    uni, bi, totals = train_bigram_lm(d.where(split == 0), "doc_id", "text")
+    ppl = perplexity_scores(d.where(split != 0), uni, bi, totals, "doc_id", "text")
+    p = _plan(ppl)
+    assert p.count("BroadcastExchange") >= 3  # uni, uni-as-prev, bi (+ totals BNLJ)
+    assert "SortMergeJoin" not in p
+
+    bm = bm25_scores(d, "doc_id", "text", ["spark", "join"])
+    pb = _plan(bm)
+    assert "BroadcastExchange" in pb and "SortMergeJoin" not in pb
+
+    for plan in (p, pb):
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
