@@ -1502,6 +1502,56 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_resample(w, "doc_id", k=100)
 
 
+def q_crawl_rfc_replay(spark, sf_dir):
+    """RFC 9309 robots INSIDE the crawl loop, value-replayed (the round-5
+    verdict's remaining replay branch): one crawl round under the replay
+    config where hosts ≡ 0 (mod 3) publish wildcard/anchor rules
+    (``Allow: /doc/1*3$``, ``Disallow: /doc/1``, ``Disallow: /doc/*5$``)
+    as RAW robots.txt, parsed through the real Arrow-UDF parse path into
+    the gate the scheduler consults. The DuckDB oracle re-derives seeds,
+    re-implements the longest-match precedence in SQL, replays the exact
+    per-host top-25 and the fetch ladder — every fetched row must match."""
+    from web_crawling_prj_spark.operators.robots import parse_robots_table
+    from web_crawling_prj_spark.plans.crawl_round import CrawlConfig, crawl_store, run_crawl
+    from web_crawling_prj_spark.sources.pages_gen import pages_df, seeds_df
+
+    pages = pages_df(spark, sf_dir).persist()
+    cfg = CrawlConfig(
+        num_buckets=8,
+        n_salts=4,
+        max_per_host=25,
+        default_budget=25,
+        use_bloom=False,
+        round_duration_ms=600_000,
+        schedule_tiebreak="url_canon",
+        fetch_roll_mode="doc",
+    )
+    cfg.extra["max_doc_id"] = pages.agg(F.max("doc_id")).first()[0] + 1
+    raw = spark.range(97).select(
+        F.format_string("host-%04d.example", F.col("id")).alias("host"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.lit("User-agent: *\nAllow: /doc/1*3$\nDisallow: /doc/1\nDisallow: /doc/*5$\n"),
+        ).alias("robots_txt"),
+    )
+    robots = parse_robots_table(raw)
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = crawl_store(tempfile.mkdtemp(prefix="wcp_rfc_", dir=tmp_parent), cfg)
+    try:
+        run_crawl(spark, store, pages, robots, seeds_df(spark, sf_dir), rounds=1, cfg=cfg)
+        log = store.read_all(spark, "fetch_log").select(
+            "round_id", "url_canon", "host", "attempt", "http_code", "error_class"
+        ).orderBy("url_canon")
+        return log.localCheckpoint(eager=True)
+    finally:
+        pages.unpersist()
+        import shutil
+
+        shutil.rmtree(store.root, ignore_errors=True)
+        for t in spark.sql(f"SHOW TABLES LIKE '{store._prefix}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {t.tableName}")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Linear quality classifier (GPT-3 §A / fastText recipe,
     operators/qualityclf.py): positives = docs with doc_id%7==0 augmented
@@ -1755,8 +1805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
         "md5_business_key": q_md5_business_key,  # F1 row hash
         "json_props_extract": q_json_props_extract,  # F12 JSON path
-        # — round-6 session-3 addition (rotate in-window next round) —
+        # — round-6 session-3 additions (rotate in-window next round) —
         "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
+        "crawl_rfc_replay": q_crawl_rfc_replay,  # RFC robots in-loop replay, value-exact
     }
 
 
@@ -3330,6 +3381,72 @@ FROM sc GROUP BY doc_id
         "semdedup": _semdedup_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(),
         "quality_classifier": _quality_clf_oracle_sql(steps=6, eta=10.0),
+        # One-round crawl replay with the RFC 9309 gate in the loop: same
+        # seed synthesis as crawl_rounds_replay, longest-match precedence
+        # re-implemented in SQL (pattern lengths 9 > 8 > 6 order the CASE;
+        # host-9999 is outside the robots table → allowed), exact top-25,
+        # same fetch ladder + http_code mapping.
+        "crawl_rfc_replay": """
+WITH
+pg AS (
+  SELECT doc_id,
+         CASE WHEN (((doc_id % 1000003) * 2654435761 + 42) % 2147483647) % 100 < 25 THEN 0
+              ELSE (((doc_id % 1000003) * 2654435761 + 84) % 2147483647) % 97 END AS hid,
+         ((((doc_id % 1000003) * 2654435761 + 126) % 2147483647) % 1000) / 1000.0 AS priority,
+         (((doc_id % 1000003) * 2654435761 + 252) % 2147483647) % 100 < 20 AS is_seed
+  FROM documents),
+pages AS (
+  SELECT doc_id, priority, is_seed,
+         'host-' || lpad(CAST(hid AS VARCHAR), 4, '0') || '.example' AS host,
+         'https://host-' || lpad(CAST(hid AS VARCHAR), 4, '0') || '.example/doc/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=seed' AS url
+  FROM pg),
+seeds AS (
+  SELECT url, host, '/doc/' || CAST(doc_id AS VARCHAR) AS path, priority
+  FROM pages WHERE is_seed
+  UNION ALL
+  SELECT 'https://host-9999.example/missing/' || CAST(i AS VARCHAR),
+         'host-9999.example', '/missing/' || CAST(i AS VARCHAR), 0.5
+  FROM range(0, 25) t(i)),
+verd AS (
+  SELECT s.*,
+         CASE WHEN NOT (CAST(substr(s.host, 6, 4) AS INT) % 3 = 0
+                        AND CAST(substr(s.host, 6, 4) AS INT) <= 96) THEN TRUE
+              WHEN regexp_matches(s.path, '^/doc/1.*3$') THEN TRUE
+              WHEN regexp_matches(s.path, '^/doc/.*5$') THEN FALSE
+              WHEN s.path LIKE '/doc/1%' THEN FALSE
+              ELSE TRUE END AS allowed
+  FROM seeds s),
+rank1 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rk
+  FROM verd WHERE allowed),
+fetch1 AS (
+  SELECT s.url, s.host, p.doc_id AS page_doc,
+         ((((p.doc_id * 131 + 1) % 1000003) * 2654435761 + 462) % 2147483647) % 10000 AS roll
+  FROM rank1 s LEFT JOIN pages p USING (url)
+  WHERE s.rk <= 25),
+out1 AS (
+  SELECT url, host, page_doc,
+         CASE WHEN page_doc IS NULL THEN 'api_error'
+              WHEN roll < 100 THEN 'network_error'
+              WHEN roll < 150 THEN 'rate_limit'
+              WHEN roll < 180 THEN 'timeout'
+              WHEN roll < 200 THEN 'proxy_error'
+              WHEN roll < 210 THEN 'auth_error'
+              WHEN roll < 220 THEN 'token_expired'
+              WHEN roll < 250 THEN 'api_error'
+              WHEN roll < 280 THEN 'parsing_error'
+              ELSE 'ok' END AS error_class
+  FROM fetch1)
+SELECT CAST(1 AS INT) AS round_id, url AS url_canon, host, CAST(1 AS INT) AS attempt,
+       CAST(CASE error_class WHEN 'ok' THEN 200 WHEN 'network_error' THEN 503
+            WHEN 'rate_limit' THEN 429 WHEN 'auth_error' THEN 401 WHEN 'token_expired' THEN 403
+            WHEN 'api_error' THEN (CASE WHEN page_doc IS NULL THEN 404 ELSE 400 END)
+            WHEN 'parsing_error' THEN 200 END AS INT) AS http_code,
+       error_class
+FROM out1
+ORDER BY url_canon
+""",
         # composed CCNet pipeline: the lang_id twin (tie-priority en-first) →
         # min-doc_id dedup per md5(text) → the lm_perplexity twin over `kept`
         "ccnet_pipeline": r"""
