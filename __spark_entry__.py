@@ -1624,6 +1624,24 @@ def q_bpe_vocab(spark, sf_dir):
     return vocab
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Token budgeting under the LEARNED tokenizer: per-doc BPE token count
+    = Σ over the doc's word occurrences of that word's segment count under
+    the 8 learned merges — the map-side inference path (vocab table
+    broadcasts) the packing/budgeting ops would consume."""
+    from web_crawling_prj_spark.operators.bpe import bpe_learn
+    from web_crawling_prj_spark.operators.lmquality import _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_learn(d, "text", n_merges=8)
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("word"))
+    return (
+        tok.join(F.broadcast(vocab.select("word", "n_symbols")), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_symbols").cast("long").alias("n_bpe"))
+    )
+
+
 def q_gopher_gates(spark, sf_dir):
     """Gopher quality-filter rule set (Rae et al. 2021, A1.1) over documents.
     The synthetic corpus is uniform (every doc would pass or fail the same
@@ -1808,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — round-6 session-3 additions (rotate in-window next round) —
         "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
         "crawl_rfc_replay": q_crawl_rfc_replay,  # RFC robots in-loop replay, value-exact
+        "bpe_token_counts": q_bpe_token_counts,  # learned-tokenizer budgeting, value-exact
     }
 
 
@@ -2160,7 +2179,7 @@ FROM f_s LEFT JOIN w{steps} USING (bucket) GROUP BY doc_id
     )
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, per_doc: bool = False) -> str:
     """Unrolled DuckDB twin of q_bpe_vocab: one (pairs, best, merge) CTE
     triple per step. Merging is plain (non-regex) replace over the
     '|sym||sym|' wrapped representation — identical leftmost-non-overlap
@@ -2170,7 +2189,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     # every s{i} is referenced twice (pair counts + next step) — MATERIALIZED
     # or DuckDB's inlining blows up 2^n_merges (same trap as the HITS oracle)
     ctes = [
-        r"""tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        r"""tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                                  t -> t <> '')) AS word FROM documents)""",
         "wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word)",
         r"""s0 AS MATERIALIZED (SELECT word, freq,
@@ -2193,7 +2212,13 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT word, freq, seq, CAST(len({sym}) AS INT) AS n_symbols FROM s{n_merges}"
+        + (
+            f"""
+SELECT t.doc_id, CAST(sum(CAST(len({sym}) AS INT)) AS BIGINT) AS n_bpe
+FROM tok t JOIN s{n_merges} USING (word) GROUP BY t.doc_id"""
+            if per_doc
+            else f"\nSELECT word, freq, seq, CAST(len({sym}) AS INT) AS n_symbols FROM s{n_merges}"
+        )
     )
 
 
@@ -3380,6 +3405,7 @@ FROM sc GROUP BY doc_id
 """,
         "semdedup": _semdedup_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(),
+        "bpe_token_counts": _bpe_oracle_sql(per_doc=True),
         "quality_classifier": _quality_clf_oracle_sql(steps=6, eta=10.0),
         # One-round crawl replay with the RFC 9309 gate in the loop: same
         # seed synthesis as crawl_rounds_replay, longest-match precedence
