@@ -524,3 +524,74 @@ def test_read_warc_splits_row_identical_and_parallel(spark, tmp_path):
     assert n_splits > cdx.select("path").distinct().count()
     files.unpersist()
     cdx.unpersist()
+
+
+def test_stream_curated_pages_filters_and_matches_batch(spark, tmp_path):
+    """Streaming curation (ingest.stream_curated_pages): language + Gopher
+    gates on the WARC ingest stream keep exactly the docs the batch path
+    keeps; growing the archive curates only the new files."""
+    from web_crawling_prj_spark.functions.text import gopher_metrics, gopher_pass
+    from web_crawling_prj_spark.sources.pages_gen import _render_html_udf
+    from web_crawling_prj_spark.sources.warc import (
+        http_response_payload,
+        pages_from_warc,
+        warc_gz_files_df,
+        warc_record_col,
+        write_warc_files,
+    )
+    from web_crawling_prj_spark.streaming.ingest import stream_curated_pages
+
+    good = "the data pipeline runs well and we have results to share with care " * 6
+    texts = {
+        0: good,                                       # en, passes Gopher
+        1: "the cat is small",                         # en, < 50 words
+        2: "der hund und die katze ist nicht mit zu den haus gegangen " * 6,  # de
+        3: good + " # " * 30,                          # en, symbol ratio
+        4: good + " indeed we say more of it today",   # en, passes
+    }
+    arc = tmp_path / "arc"
+
+    def make(ids, fkey):
+        d = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+        uri = F.concat(F.lit("https://h.example/doc/"), F.col("doc_id"))
+        html = _render_html_udf(F.col("text"), F.lit("en"), uri)
+        rec = d.select(
+            "doc_id",
+            warc_record_col(
+                uri, http_response_payload(F.decode(html, "UTF-8")), rec_type="response"
+            ).alias("record"),
+        )
+        files = warc_gz_files_df(rec, F.lit(fkey), F.col("doc_id"), F.col("record"))
+        write_warc_files(files, str(arc), suffix=".warc.gz")
+
+    make([0, 1, 2, 3], 0)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            stream_curated_pages(spark, str(arc))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = [r.url for r in spark.read.parquet(out).select("url").collect()]
+    assert got == ["https://h.example/doc/0"]
+
+    make([4], 1)  # archive grows: only the new file curates
+    drain()
+    got2 = sorted(r.url for r in spark.read.parquet(out).select("url").collect())
+    assert got2 == ["https://h.example/doc/0", "https://h.example/doc/4"]
+
+    # streaming ≡ batch
+    batch = pages_from_warc(read_warc_dir(spark, str(arc)))
+    batch = batch.where(F.col("lang") == "en").where(
+        gopher_pass(gopher_metrics(F.col("text")))
+    )
+    assert sorted(r.url for r in batch.select("url").collect()) == got2

@@ -169,6 +169,26 @@ def stream_warc_records(spark: SparkSession, archive_dir: str) -> DataFrame:
     return parse_warc(raw)
 
 
+def stream_curated_pages(
+    spark: SparkSession, archive_dir: str, lang: str = "en"
+) -> DataFrame:
+    """Continuously-curated training pages: the streaming WARC ingest
+    composed with the round-6 curation gates — ``pages_from_warc`` →
+    language gate (the pages table's re-detected ``lang``) → the Gopher
+    A1.1 quality gate. Every stage is a stateless projection/filter, so the
+    stream needs no watermark and no state store; each new archive a crawl
+    round exports yields exactly its curated rows once (file-source
+    processed-log), with file-per-task parallelism preserved. Streaming ≡
+    batch by construction (same expressions) — pinned by test."""
+    from web_crawling_prj_spark.functions.text import gopher_metrics, gopher_pass
+    from web_crawling_prj_spark.sources.warc import pages_from_warc
+
+    pages = pages_from_warc(stream_warc_records(spark, archive_dir))
+    return pages.where(F.col("lang") == lang).where(
+        gopher_pass(gopher_metrics(F.col("text")))
+    )
+
+
 def sink_to_frontier(discoveries: DataFrame, out_dir: str, checkpoint_dir: str):
     """foreachBatch bridge: land micro-batches in the batch-round drop table.
 
