@@ -186,6 +186,17 @@ def kmeans(
     return assigned, cents
 
 
+def _score_against(assigned: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cluster, centroid_sim): rounded cosine to the assigned
+    cluster's centroid — the keep-priority key."""
+    return assigned.join(F.broadcast(cents), "cluster").select(
+        id_col,
+        vec_col,
+        "cluster",
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("centroid_sim"),
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     k: int = 8,
@@ -199,12 +210,7 @@ def semdedup(
     keep-priority order (centroid_sim ASC, id ASC) has cosine ≥ tau with it.
     Cosines rounded to 6 decimals before every comparison."""
     assigned, cents = kmeans(embeddings, k, iters, id_col, vec_col)
-    scored = assigned.join(F.broadcast(cents), "cluster").select(
-        id_col,
-        vec_col,
-        "cluster",
-        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("centroid_sim"),
-    )
+    scored = _score_against(assigned, cents, id_col, vec_col)
     a = scored.select(
         F.col("cluster"),
         F.col(id_col).alias("_a_id"),
@@ -227,6 +233,82 @@ def semdedup(
         .select(F.col("_b_id").alias(id_col))
         .distinct()
     )
+    return (
+        scored.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            "centroid_sim",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_increment(
+    new_vecs: DataFrame,
+    centroids: DataFrame | list,
+    prior: DataFrame,
+    tau: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Daily-increment SemDeDup: screen a NEW batch against FROZEN centroids
+    and the already-processed corpus — never re-cluster, never recompare old
+    points. Arrival order defines priority: every prior point outranks every
+    new point; within the new batch the order is (centroid_sim ASC, id ASC),
+    exactly :func:`semdedup`'s rule. A new point is dropped iff cosine ≥ tau
+    with ANY prior point in its cluster (kept or dropped — dropped points
+    dominate later arrivals in the batch rule too, and the increment keeps
+    that semantics so sequential increments ≡ one sequential batch pass) or
+    with an earlier new point.
+
+    ``prior``: (id, cluster, centroid_sim, vec) of every previously
+    processed point — i.e. past outputs joined back to their vectors.
+    Returns the NEW rows only, same schema as :func:`semdedup`.
+
+    Cost: assignment is shuffle-free (the frozen-centroid tiers); the
+    screens shuffle new-batch-sized data and join prior per cluster —
+    O(|new| · cluster slice), never O(corpus²)."""
+    cents = centroids
+    if isinstance(cents, DataFrame):
+        cents = [(r["cluster"], list(r["centroid"])) for r in cents.collect()]
+    assigned = kmeans_assign(new_vecs, cents, id_col, vec_col)
+    cent_df = new_vecs.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(cents)],
+        "cluster int, centroid array<double>",
+    )
+    scored = _score_against(assigned, cent_df, id_col, vec_col)
+    new_b = scored.select(
+        "cluster",
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        F.col("centroid_sim").alias("_b_sim"),
+    )
+    prior_a = prior.select(
+        "cluster",
+        F.col(vec_col).alias("_a_vec"),
+    )
+    dropped_vs_prior = (
+        prior_a.join(new_b, "cluster")
+        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
+        .select(F.col("_b_id").alias(id_col))
+    )
+    new_a = scored.select(
+        "cluster",
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col("centroid_sim").alias("_a_sim"),
+    )
+    earlier = (F.col("_a_sim") < F.col("_b_sim")) | (
+        (F.col("_a_sim") == F.col("_b_sim")) & (F.col("_a_id") < F.col("_b_id"))
+    )
+    dropped_vs_new = (
+        new_a.join(new_b, "cluster")
+        .where(earlier)
+        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
+        .select(F.col("_b_id").alias(id_col))
+    )
+    dropped = dropped_vs_prior.unionByName(dropped_vs_new).distinct()
     return (
         scored.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
         .select(
