@@ -1624,6 +1624,28 @@ def q_bpe_vocab(spark, sf_dir):
     return vocab
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition-signal family (Rae'21 A1,
+    operators/repetition.py): 13 per-doc metrics. Even doc_ids get their
+    text doubled (newline-joined) plus a twice-repeated closing paragraph —
+    planting duplicate lines/paragraphs and duplicate n-grams at every n —
+    while odd doc_ids stay raw (near-zero tails); the same augmentation runs
+    in the oracle."""
+    from web_crawling_prj_spark.operators.repetition import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat_ws(
+            "\n\n",
+            F.concat_ws("\n", F.col("text"), F.col("text")),
+            F.lit("repeated closing paragraph"),
+            F.lit("repeated closing paragraph"),
+        ),
+    ).otherwise(F.col("text"))
+    return gopher_repetition(d.select("doc_id", aug.alias("text")), "doc_id", "text")
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token budgeting under the LEARNED tokenizer: per-doc BPE token count
     = Σ over the doc's word occurrences of that word's segment count under
@@ -1827,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
         "crawl_rfc_replay": q_crawl_rfc_replay,  # RFC robots in-loop replay, value-exact
         "bpe_token_counts": q_bpe_token_counts,  # learned-tokenizer budgeting, value-exact
+        "gopher_repetition": q_gopher_repetition,  # Gopher A1 repetition family, value-exact
     }
 
 
@@ -2176,6 +2199,97 @@ SELECT doc_id, CAST(count(*) - 1 AS BIGINT) AS n_features,
        round(1.0e0 / (1.0e0 + exp(-sum(x * COALESCE(w, 0.0e0)))), 6) AS score
 FROM f_s LEFT JOIN w{steps} USING (bucket) GROUP BY doc_id
 """
+    )
+
+
+def _repetition_oracle_sql() -> str:
+    """Unrolled DuckDB twin of q_gopher_repetition: list-native unit fracs,
+    one lead()-window gram table per n, argmax (top) / running-max interval
+    sweep (dup), all per-doc-partitioned like the Spark plan."""
+    from web_crawling_prj_spark.operators.repetition import DUP_NS, TOP_NS
+
+    unit = lambda arr: (
+        f"CASE WHEN len({arr}) > 0 THEN round(len(list_filter({arr}, "
+        f"x -> len(list_filter({arr}, y -> y = x)) >= 2)) / CAST(len({arr}) AS DOUBLE), 6) "
+        f"ELSE 0.0e0 END"
+    )
+    unit_chars = lambda arr: (
+        f"CASE WHEN COALESCE(list_aggregate(list_transform({arr}, x -> length(x)), 'sum'), 0) > 0 "
+        f"THEN round(COALESCE(list_aggregate(list_transform(list_filter({arr}, "
+        f"x -> len(list_filter({arr}, y -> y = x)) >= 2), x -> length(x)), 'sum'), 0) "
+        f"/ CAST(list_aggregate(list_transform({arr}, x -> length(x)), 'sum') AS DOUBLE), 6) "
+        f"ELSE 0.0e0 END"
+    )
+    ctes = [
+        """docs AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || text
+         || chr(10) || chr(10) || 'repeated closing paragraph'
+         || chr(10) || chr(10) || 'repeated closing paragraph'
+       ELSE text END AS t
+  FROM documents)""",
+        """units AS (SELECT doc_id,
+  list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lns,
+  list_filter(string_split(t, chr(10) || chr(10)), x -> trim(x) <> '') AS prs
+  FROM docs)""",
+        f"""base AS (SELECT doc_id,
+  {unit('lns')} AS dup_line_frac, {unit_chars('lns')} AS dup_line_char_frac,
+  {unit('prs')} AS dup_para_frac, {unit_chars('prs')} AS dup_para_char_frac
+  FROM units)""",
+        r"""tok0 AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(t)), '\s+'),
+                                   x -> x <> '') AS tl FROM docs))""",
+        """tok AS MATERIALIZED (SELECT doc_id, pos, w, CAST(length(w) AS BIGINT) AS wlen,
+  COALESCE(sum(length(w)) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok0)""",
+        "tots AS (SELECT doc_id, CAST(sum(wlen) AS BIGINT) AS tot FROM tok GROUP BY doc_id)",
+    ]
+    joins, cols = [], []
+    for n in TOP_NS + tuple(DUP_NS):
+        parts = ", ".join(
+            ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, n)]
+        )
+        ctes.append(
+            f"""g{n} AS (SELECT doc_id, gram, s, e FROM (
+  SELECT doc_id, concat_ws(' ', {parts}) AS gram, off AS s,
+         lead(off, {n - 1}) OVER win + lead(wlen, {n - 1}) OVER win AS e
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE e IS NOT NULL)"""
+        )
+        if n in TOP_NS:
+            ctes.append(
+                f"""t{n} AS (SELECT doc_id, cnt, glen FROM (
+  SELECT doc_id, count(*) AS cnt, min(e - s) AS glen,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g{n} GROUP BY doc_id, gram) WHERE rn = 1)"""
+            )
+            joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+            cols.append(
+                f"CASE WHEN COALESCE(tot, 0) > 0 AND COALESCE(t{n}.cnt, 0) >= 2 "
+                f"THEN round(t{n}.cnt * t{n}.glen / CAST(tot AS DOUBLE), 6) "
+                f"ELSE 0.0e0 END AS top{n}_gram_char_frac"
+            )
+        else:
+            ctes.append(
+                f"""d{n} AS (SELECT doc_id, CAST(sum(gain) AS BIGINT) AS covered FROM (
+  SELECT doc_id, greatest(e - greatest(COALESCE(max(e) OVER (PARTITION BY doc_id
+    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s), 0) AS gain
+  FROM (SELECT g.doc_id, g.s, g.e FROM g{n} g
+        JOIN (SELECT doc_id, gram FROM g{n} GROUP BY doc_id, gram HAVING count(*) >= 2) dd
+        USING (doc_id, gram))) GROUP BY doc_id)"""
+            )
+            joins.append(f"LEFT JOIN d{n} USING (doc_id)")
+            cols.append(
+                f"CASE WHEN COALESCE(tot, 0) > 0 "
+                f"THEN round(COALESCE(d{n}.covered, 0) / CAST(tot AS DOUBLE), 6) "
+                f"ELSE 0.0e0 END AS dup{n}_gram_char_frac"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT base.doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,\n"
+        + ",\n".join(cols)
+        + "\nFROM base LEFT JOIN tots USING (doc_id)\n"
+        + "\n".join(joins)
     )
 
 
@@ -3406,6 +3520,7 @@ FROM sc GROUP BY doc_id
         "semdedup": _semdedup_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(),
         "bpe_token_counts": _bpe_oracle_sql(per_doc=True),
+        "gopher_repetition": _repetition_oracle_sql(),
         "quality_classifier": _quality_clf_oracle_sql(steps=6, eta=10.0),
         # One-round crawl replay with the RFC 9309 gate in the loop: same
         # seed synthesis as crawl_rounds_replay, longest-match precedence
