@@ -1624,6 +1624,38 @@ def q_bpe_vocab(spark, sf_dir):
     return vocab
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus-curation dashboard: ONE composed aggregate over per-doc
+    signals the engine already certifies individually — per (lang, source):
+    doc count, char/token budgets, exact-duplicate docs (md5 fingerprint
+    groups), summed quality score (a sum of 6-decimal values sits on the
+    1e-6 grid, so the final round is float-noise-proof — an avg lands on
+    half-boundaries), and Gopher-gate pass count on the RAW text.
+    The kind of per-slice report a 100 TB curation run publishes per
+    snapshot; partial-aggregable end to end (the dup flag is the only
+    window, partitioned by fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    m = T.gopher_metrics(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.col("n_chars"),
+        T.token_count("text").alias("_tok"),
+        T.quality_score("text").alias("_q"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("_dup"),
+        T.gopher_pass(m).alias("_gp"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("_dup").cast("int")).cast("long").alias("n_exact_dups"),
+        F.round(F.sum("_q"), 6).alias("sum_quality"),
+        F.sum(F.col("_gp").cast("int")).cast("long").alias("n_gopher_pass"),
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """The full Gopher repetition-signal family (Rae'21 A1,
     operators/repetition.py): 13 per-doc metrics. Even doc_ids get their
@@ -1749,16 +1781,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dedup": q_frontier_dedup,  # anti-join frontier∖seen (bloom tier)
         "politeness_topk": q_politeness_topk,  # salted two-level per-host rank
         "robots_gate": q_robots_gate,  # NOT LIKE predicate gate
-        "host_freq_cms": q_host_freq_cms,  # count-min sketch
-        "error_classification": q_error_classification,  # parity table
         "retry_backoff": q_retry_backoff,  # budgets + per-class backoff
         "revenue_by_nation": q_revenue_by_nation,  # multi-join agg
-        "halfyear_recon": q_halfyear_recon,  # full outer join
         "scd2_rebuild": q_scd2_rebuild,  # SCD2 merge + latest flags
         "decontamination": q_decontamination,  # eval-set n-gram overlap filter, value-exact
         "asof_purchase_before_error": q_asof_purchase_before_error,  # as-of join
-        "sessionize_events": q_sessionize_events,  # sessionization
         "run_summary": q_run_summary,  # crawl run metrics
+        # — round-6 session-3 ops, in-window (swap for cms/error-class/
+        #   full-outer/sessionize keepers — families still covered by
+        #   url_hll_registers, retry_backoff + the replay twins, and the
+        #   past-window rows check_oracle re-certifies) —
+        "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
+        "crawl_rfc_replay": q_crawl_rfc_replay,  # RFC robots in-loop replay, value-exact
+        "gopher_repetition": q_gopher_repetition,  # Gopher A1 repetition family, value-exact
+        "bpe_token_counts": q_bpe_token_counts,  # learned-tokenizer budgeting, value-exact
         # — round-6 curation layer, in-window for the first time —
         "lm_perplexity": q_lm_perplexity,  # CCNet bigram-LM buckets, value-exact
         "dsir_weights": q_dsir_weights,  # DSIR importance top-k, value-exact
@@ -1845,11 +1881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_priority_status": q_pivot_priority_status,  # first-value pivot
         "md5_business_key": q_md5_business_key,  # F1 row hash
         "json_props_extract": q_json_props_extract,  # F12 JSON path
-        # — round-6 session-3 additions (rotate in-window next round) —
-        "quality_classifier": q_quality_classifier,  # logistic GD trajectory, value-exact
-        "crawl_rfc_replay": q_crawl_rfc_replay,  # RFC robots in-loop replay, value-exact
-        "bpe_token_counts": q_bpe_token_counts,  # learned-tokenizer budgeting, value-exact
-        "gopher_repetition": q_gopher_repetition,  # Gopher A1 repetition family, value-exact
+        "corpus_report": q_corpus_report,  # per-slice curation dashboard, value-exact
+        # — rotated out of the window in round-6 session 3 —
+        "host_freq_cms": q_host_freq_cms,  # count-min sketch
+        "error_classification": q_error_classification,  # parity table
+        "halfyear_recon": q_halfyear_recon,  # full outer join
+        "sessionize_events": q_sessionize_events,  # sessionization
     }
 
 
@@ -3521,6 +3558,42 @@ FROM sc GROUP BY doc_id
         "bpe_vocab": _bpe_oracle_sql(),
         "bpe_token_counts": _bpe_oracle_sql(per_doc=True),
         "gopher_repetition": _repetition_oracle_sql(),
+        # composed corpus dashboard: the quality_scores + gopher_gates +
+        # exact_dup_flags twins aggregated per (lang, source)
+        "corpus_report": r"""
+WITH w0 AS (
+  SELECT doc_id, lang, source, n_chars, text, md5(text) AS fp,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+per AS (
+  SELECT doc_id, lang, source, n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+    round(((CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0 WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+              THEN least(1.0, len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) * 5.0
+                   / (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split_regex(trim(text), '\s+')) END))
+              ELSE 0.0 END)) / 3.0, 6) AS quality,
+    (doc_id != min(doc_id) OVER (PARTITION BY fp)) AS is_dup,
+    (CAST(len(words) AS BIGINT) BETWEEN 50 AND 100000
+     AND round(CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, x -> length(x)), 'sum') / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) BETWEEN 3.0 AND 10.0
+     AND round(CASE WHEN len(words) > 0 THEN len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) <= 0.1
+     AND round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(trim(x), '^[•‣▪\-\*]'))) / CAST(len(lines) AS DOUBLE) ELSE 0 END, 6) <= 0.9
+     AND round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / CAST(len(lines) AS DOUBLE) ELSE 0 END, 6) <= 0.3
+     AND round(CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) >= 0.8
+     AND CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(list_transform(words, x -> lower(x)), s))) AS BIGINT) >= 2) AS gp
+  FROM w0)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       round(sum(quality), 6) AS sum_quality,
+       CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+FROM per GROUP BY lang, source
+""",
         "quality_classifier": _quality_clf_oracle_sql(steps=6, eta=10.0),
         # One-round crawl replay with the RFC 9309 gate in the loop: same
         # seed synthesis as crawl_rounds_replay, longest-match precedence
