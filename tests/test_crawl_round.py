@@ -991,3 +991,48 @@ def test_shard_rows_seen_tier_equals_broadcast_tier(spark, tmp_path, crawl_input
     assert probed.where(~F.col("_maybe_seen")).count() == 0
     shutil.rmtree(str(tmp_path / "bc"))
     shutil.rmtree(str(tmp_path / "sr"))
+
+
+def test_shard_rows_tier_migration_keeps_full_seen_set(spark, tmp_path, crawl_inputs):
+    """Migration onto the shard_rows tier (ADVICE r6 high): rounds 1-2 run
+    with the broadcast tier, round 3 switches the SAME store to shard_rows.
+    The committed bloom_shards table must cover the FULL seen-set — the old
+    maintenance path built it from round 3's delta alone, so rounds 1-2 keys
+    probed false, bypassed the exact rescue, and were re-fetched. Asserts
+    zero false negatives over all seen keys and schedule equality with a
+    never-migrated broadcast run."""
+    pages, robots, seeds, base_cfg = crawl_inputs
+
+    def mk_cfg(tier):
+        cfg = CrawlConfig(
+            num_buckets=8, n_salts=4, max_per_host=25, default_budget=25,
+            frontier_deltas=False, use_bloom=True, approx_seen_tier=tier,
+        )
+        cfg.extra["max_doc_id"] = base_cfg.extra["max_doc_id"]
+        return cfg
+
+    # control: 4 rounds entirely on the broadcast tier
+    s_bc = StateStore(str(tmp_path / "mig_bc"))
+    run_crawl(spark, s_bc, pages, robots, seeds, rounds=4, cfg=mk_cfg("broadcast"))
+
+    # migrated: 2 broadcast rounds, then resume with shard_rows for 2 more
+    s_mig = StateStore(str(tmp_path / "mig_sr"))
+    run_crawl(spark, s_mig, pages, robots, seeds, rounds=2, cfg=mk_cfg("broadcast"))
+    run_crawl(spark, s_mig, pages, robots, seeds, rounds=4, cfg=mk_cfg("shard_rows"))
+
+    assert _final_state(s_bc, spark) == _final_state(s_mig, spark)
+
+    # the committed shard table covers the WHOLE seen-set, not just deltas
+    # since the switch: every seen key probes true (bloom: no false negatives)
+    from web_crawling_prj_spark.operators.shardprobe import probe_bloom_shard_rows
+
+    cfg = mk_cfg("shard_rows")
+    seen = s_mig.read_all(spark, "seen_delta").select("url_hash")
+    rows = s_mig.read_round(spark, "bloom_shards", 4)
+    probed = probe_bloom_shard_rows(
+        seen, rows, num_shards=8,
+        expected_per_shard=cfg.bloom_expected_per_shard, fpp=cfg.bloom_fpp,
+    )
+    assert probed.where(~F.col("_maybe_seen")).count() == 0
+    shutil.rmtree(str(tmp_path / "mig_bc"))
+    shutil.rmtree(str(tmp_path / "mig_sr"))

@@ -344,3 +344,30 @@ def test_spark_union_bucketed_partitioning_guard(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ubg_a")
         spark.sql("DROP TABLE IF EXISTS ubg_b")
+
+
+def test_union_guard_enforced_at_library_level(spark, tmp_path):
+    """The union-partitioning wrong-results guard must hold under ANY
+    caller-built session, not only wcp.session.get_spark (CORRECTNESS_r06:
+    the driver's own harness session reproduced 243-vs-201 duplicate fetch
+    rows in crawl_rounds_replay because only the session factory set the
+    conf). statestore.guard_union_partitioning is called from every bucketed
+    catalog-read choke point and from run_crawl; this test flips the conf to
+    the buggy upstream default mid-session, reads a bucketed store across
+    two rounds, and asserts both the corrected conf and exact results."""
+    from web_crawling_prj_spark.plans.statestore import StateStore
+
+    store = StateStore(str(tmp_path / "ug_store"), bucket_spec={"t": ("k", 8)})
+    a = spark.range(1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    store.commit_round(0, {"t": a.repartition(8, "k")})
+    store.commit_round(1, {"t": b.repartition(8, "k")})
+    spark.conf.set("spark.sql.unionOutputPartitioning", "true")
+    try:
+        u = store.read_round(spark, "t", 0).unionByName(store.read_round(spark, "t", 1))
+        # read_round's registration path must have re-pinned the guard
+        assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+        assert u.distinct().count() == 1500
+        assert u.groupBy("k").count().where("count = 2").count() == 500
+    finally:
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")

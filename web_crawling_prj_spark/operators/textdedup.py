@@ -36,6 +36,22 @@ from web_crawling_prj_spark.functions.text import doc_fingerprint, normalized_fi
 
 logger = logging.getLogger(__name__)
 
+_PERSIST_SEQ = [0]  # one unique token per materialization call (see below)
+
+
+def _persist_fresh(df: DataFrame) -> DataFrame:
+    """``persist()`` that can never be served from a PREVIOUS invocation's
+    cache. Spark's CacheManager matches cached plans by canonicalized logical
+    plan, so two separate calls of the same operator over the same input
+    would silently share one cache entry — a repeated benchmark run then
+    times cache reads instead of the computation (forbidden cross-run
+    reuse). A per-call literal token column makes every invocation's plan
+    distinct; within the invocation all consumers still hit the one cache
+    entry, and the blocks stay LRU-evictable (unlike localCheckpoint blocks,
+    which are the only copy and pin storage until GC)."""
+    _PERSIST_SEQ[0] += 1
+    return df.withColumn("_fresh_seq", F.lit(_PERSIST_SEQ[0])).persist().drop("_fresh_seq")
+
 
 # --- LSH skew defenses (shared by minhash / simhash / embedding tiers) ---
 #
@@ -287,20 +303,42 @@ def duplicate_ngram_spans(
     re-expression is positional n-gram frequency + interval merge).
 
     Plan (3 shuffles, all key-partial):
-      1. posexplode positional n-grams, key = md5(gram) (fixed 16-byte
-         shuffle key instead of the raw gram string);
-      2. groupBy(gram_hash) count — partial-aggregable map-side; duplicated
-         grams are the ones with count ≥ min_count;
-      3. left-semi back to occurrences (duplicated positions only), then ONE
-         per-doc window pass merges overlapping [pos, pos+n) intervals into
-         maximal spans (classic running-max interval merge).
+      1. posexplode positional n-grams, key = unhex(md5(gram)) (fixed
+         16-BYTE binary shuffle key — half the 32-char hex string's bytes,
+         same collision semantics as the DuckDB twin's md5 since unhex is a
+         bijection of the hex digest);
+      2. groupBy(gram_hash) count — partial-aggregable map-side (a hot
+         boilerplate gram never floods one task; each map task emits ≤1 row
+         per distinct gram); duplicated grams are the ones with count ≥
+         min_count;
+      3. left-semi back to occurrences (duplicated positions only —
+         broadcast when the dup-gram set is small, AQE-skew-splittable join
+         otherwise), then ONE per-doc window pass merges overlapping
+         [pos, pos+n) intervals into maximal spans (classic running-max
+         interval merge).
+
+    ``occ`` (the exploded positional occurrences) feeds BOTH the count and
+    the semi-join probe; without materialization the tokenize + 7-pass
+    zip_with gram build + md5 subtree executes twice (two Generate+Scan
+    branches in the plan — guide §1.2: don't compute things twice). It is
+    materialized ONCE per invocation via :func:`_persist_fresh` (~24 B/token
+    of evictable cache, released by the ContextCleaner when the result goes
+    out of scope; the fresh-token wrapper stops the CacheManager from
+    serving run 2+ of a repeated benchmark from run 1's cache).
+    Measured 4.9 s → 3.2 s per cold run at 50 k docs. The count+semi-join
+    shape is kept over a count-over-window single pass (2.4 s but
+    skew-fragile) deliberately: a window needs every occurrence of a gram in
+    ONE task, which a 10⁸-occurrence boilerplate gram turns into an
+    unsplittable straggler (guide §2.5 — AQE cannot split windows), while
+    partial aggregation + join skew-splitting stay bounded.
 
     Returns (id_col, span_start, span_end, span_tokens): token-index spans,
     end exclusive. Every returned span is ≥ n tokens and maximal."""
     occ = docs.select(
         F.col(id_col),
         F.posexplode(positional_ngrams_col(text_col, n)).alias("pos", "gram"),
-    ).select(id_col, "pos", F.md5("gram").alias("gh"))
+    ).select(id_col, "pos", F.unhex(F.md5("gram")).alias("gh"))
+    occ = _persist_fresh(occ)
     dup_grams = occ.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
     dup_occ = occ.join(dup_grams, "gh", "left_semi").select(
         id_col, "pos", (F.col("pos") + n).alias("end")
@@ -482,12 +520,40 @@ def minhash_candidate_pairs(
     :func:`_seeded_hash`)."""
     rows = num_hashes // bands
     reps, intra = _exact_groups(docs, id_col, text_col)
-    sigs = reps.select(
+    # The signature (32 seeded hashes per shingle, folded) is BY FAR the
+    # expensive projection; it feeds three consumers (banding + both sides of
+    # the est-Jaccard attach), so materialize it once per invocation —
+    # _persist_fresh, not a bare persist(): the CacheManager matches cached
+    # plans across separate invocations and would serve a repeated run from
+    # the previous run's cache (forbidden cross-run reuse). Without
+    # materialization the tokenize + shingle + 32-seeded-hash subtree
+    # executes once per consumer (twice in the round-6 plan).
+    sigs = _persist_fresh(
+        reps.select(
+            "id",
+            minhash_signature("_text", num_hashes, shingle_n, hash_fn).alias("sig"),
+        )
+    )
+    # Decide-with-small-rows, attach-payload-last (guide §8): banding, the
+    # bucket cap's two salted rank windows, the pair self-join, and the pair
+    # dedup all run on (id, band_id, band_hash) rows — the 256-byte signature
+    # arrays no longer ride through those four exchanges (round 6 shipped
+    # sig_a+sig_b through the join AND the dedup). Signatures are attached
+    # once per side afterwards, only for surviving deduped pairs.
+    banded = sigs.select(
         "id",
-        minhash_signature("_text", num_hashes, shingle_n, hash_fn).alias("sig"),
-    ).withColumn("band", F.explode(F.arrays_zip(F.sequence(F.lit(0), F.lit(bands - 1)).alias("band_id"), minhash_bands("sig", bands, rows, hash_fn).alias("band_hash"))))
-    banded = sigs.select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap, stats_out)
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.lit(bands - 1)).alias("band_id"),
+                minhash_bands("sig", bands, rows, hash_fn).alias("band_hash"),
+            )
+        ).alias("band"),
+    ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # capped band rows are 24 B each and feed both sides of the self-join:
+    # materialize so the explode + two salted rank windows run once, not twice
+    banded = _persist_fresh(
+        _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap, stats_out)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -497,14 +563,12 @@ def minhash_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = pairs.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.size(F.col("sig_a"))

@@ -1160,15 +1160,33 @@ def _run_round(
             merge_bloom_shard_rows,
         )
 
-        shard_rows = build_bloom_shard_rows(
-            seen_delta,
-            num_shards=cfg.num_buckets,
-            expected_per_shard=cfg.bloom_expected_per_shard,
-            fpp=cfg.bloom_fpp,
-        )
         if store.has_table("bloom_shards", round_id - 1):
             shard_rows = merge_bloom_shard_rows(
-                store.read_round(spark, "bloom_shards", round_id - 1), shard_rows
+                store.read_round(spark, "bloom_shards", round_id - 1),
+                build_bloom_shard_rows(
+                    seen_delta,
+                    num_shards=cfg.num_buckets,
+                    expected_per_shard=cfg.bloom_expected_per_shard,
+                    fpp=cfg.bloom_fpp,
+                ),
+            )
+        else:
+            # migration bootstrap (ADVICE r6 high): no committed shard table
+            # yet — a store that predates the tier must seed it from the FULL
+            # seen-set, not this round's delta alone, or every later round
+            # probes a delta-only filter and previously-seen URLs bypass the
+            # exact anti-join rescue (re-enqueue/refetch). One-time cost, the
+            # same full build pending_frontier already ran for this round's
+            # probe.
+            base = seen_delta.select("url_hash")
+            hist = store.read_all(spark, "seen_delta", up_to=round_id - 1)
+            if hist is not None:
+                base = hist.select("url_hash").unionByName(base)
+            shard_rows = build_bloom_shard_rows(
+                base,
+                num_shards=cfg.num_buckets,
+                expected_per_shard=cfg.bloom_expected_per_shard,
+                fpp=cfg.bloom_fpp,
             )
         tables["bloom_shards"] = shard_rows
     if pr_scores is not None:
@@ -1369,7 +1387,11 @@ def run_crawl(
     the pre-parsed ``robots`` table is used unchanged all run.
     """
     from web_crawling_prj_spark.operators.robots import parse_robots_table
+    from web_crawling_prj_spark.plans.statestore import guard_union_partitioning
 
+    # correctness under ANY caller-built session (the store's read paths guard
+    # too; this covers plans built before the first store read)
+    guard_union_partitioning(spark)
     cfg = cfg or CrawlConfig()
     last = store.last_committed_round()
     if last is not None:

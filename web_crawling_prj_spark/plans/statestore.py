@@ -47,6 +47,31 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+def guard_union_partitioning(spark: SparkSession) -> None:
+    """WRONG-RESULTS GUARD (upstream Spark 4.1.2), enforced at the library
+    level so store reads are correct under ANY caller-built session, not only
+    ``wcp.session.get_spark`` (which sets the same conf at build time).
+
+    With ``spark.sql.unionOutputPartitioning=true`` (the upstream default), a
+    Union of two co-bucketed table scans claims its children's
+    HashPartitioning even though Union CONCATENATES partitions (key k lands in
+    partition i AND n+i) — a downstream distinct/groupBy/latest-event
+    resolution then elides its exchange (including an explicit
+    ``repartition()``) and returns DUPLICATE rows. Every multi-round read of a
+    bucketed store table unions such scans, so this must be off in the session
+    executing those plans. The conf is runtime-settable; flipping it only
+    removes an (incorrect) exchange elision, it never changes results of
+    correct plans. Cost: one conf round-trip per call (sub-ms) — called once
+    per store read entry point, not per row.
+    """
+    key = "spark.sql.unionOutputPartitioning"
+    try:
+        if spark.conf.get(key, "true") != "false":
+            spark.conf.set(key, "false")
+    except Exception:
+        # conf unknown to this Spark build → the buggy claim doesn't exist
+        pass
+
 
 class StateStore:
     def __init__(self, root: str, bucket_spec: dict[str, tuple[str, int]] | None = None):
@@ -102,6 +127,9 @@ class StateStore:
     ) -> None:
         """Re-create the catalog entry (fresh session after resume). The table
         is EXTERNAL (explicit LOCATION) — registration never touches data."""
+        # every bucketed catalog read passes through here: the one choke point
+        # where the union-partitioning wrong-results guard must hold
+        guard_union_partitioning(spark)
         if spark.catalog.tableExists(tbl):
             return
         spark.sql(
@@ -180,8 +208,13 @@ class StateStore:
 
         # independent output dirs → write concurrently (the scheduler overlaps
         # the jobs); the manifest rename below stays the single commit point,
-        # so atomicity/resume semantics are unchanged
-        with ThreadPoolExecutor(max_workers=min(4, max(1, len(tables)))) as ex:
+        # so atomicity/resume semantics are unchanged. Width = every table at
+        # once (≤8 per round): most round tables are tiny (metrics/run_report/
+        # host_state) and their writes are job-LATENCY-bound, not
+        # resource-bound — capping at 4 serialized two waves of latency
+        # (guide §2.6 overlap-independent-jobs; measured ~1 s/round at bench
+        # scale, and on a cluster the big writes' task tails backfill).
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(tables)))) as ex:
             list(ex.map(_write, tables.items()))
         meta = {"round_id": round_id, "tables": sorted(tables), **(extra_meta or {})}
         if bucket_meta:

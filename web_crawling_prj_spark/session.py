@@ -62,6 +62,12 @@ def get_spark(
         # The frontier-delta log resolution unions per-round bucketed tables
         # before its latest-event groupBy, so this MUST stay off.
         .config("spark.sql.unionOutputPartitioning", "false")
+        # Python-boundary cost OFF the driver hot path (guide §4): PySpark 4's
+        # per-DataFrame-op call-site capture costs 3 py4j round-trips + a
+        # Python stack walk per API call — ~2-3 s per crawl round at bench
+        # scale (measured: crawl_rounds 12.9→10.0 s). Only error-message
+        # call-site decoration is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
