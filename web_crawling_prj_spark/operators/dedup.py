@@ -80,7 +80,17 @@ def anti_join_seen(
         if probe_col is not None
         else might_contain(bloom, key, spark=spark, bcast=bloom_bcast)
     )
-    probed = frontier.withColumn("_maybe_seen", probe)
+    # The routed split consumes the probed frontier TWICE (the definitely-new
+    # branch and the candidate branch are separate filter subtrees), so
+    # without materialization the frontier scan AND the per-row Python probe
+    # execute twice — paying the Python boundary for every row two times to
+    # route around one exchange (guide §4). Materialize the probed pass once
+    # per invocation (fresh-token persist: cross-invocation-safe, evictable;
+    # see textdedup._persist_fresh). Measured 1.5 s → 1.2 s on the 2M-row
+    # bench core; at cluster scale it removes a full duplicate scan + probe.
+    from web_crawling_prj_spark.operators.textdedup import _persist_fresh
+
+    probed = _persist_fresh(frontier.withColumn("_maybe_seen", probe))
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = candidates.join(seen_keys, key, "left_anti")

@@ -57,7 +57,18 @@ def train_bigram_lm(target: DataFrame, key: str, text_col: str) -> tuple[DataFra
 
     Returns ``(uni, bi, totals)``: ``uni(w, c_uni)``, ``bi(w_prev, w, c_bi)``,
     and a 1-row ``totals(t_tokens, v_vocab)``. All partial-aggregable
-    groupBys; the outputs are vocab-bounded (broadcastable)."""
+    groupBys; the outputs are vocab-bounded (broadcastable).
+
+    The positional tokenize feeds both count tables and ``uni`` feeds three
+    consumers, so the tokenize subtree executes up to four times per scoring
+    query — measured, and deliberately LEFT that way: the target slice is
+    1/7th of the corpus and the recompute is fused whole-stage-codegen,
+    while materializing ``tok``/``uni`` adds cache-write/read barriers that
+    LOSE in steady state (50k docs warm: 0.74 s lazy vs 1.04-1.28 s with
+    one/both persists). Round-7 optimization note: measure before
+    materializing — shared-subtree caching only pays when the subtree is
+    expensive relative to its materialized bytes (cf. textdedup, where it
+    wins 35%)."""
     tok = tokenize_positional(target, key, text_col)
     uni = tok.groupBy("w").agg(F.count("*").alias("c_uni"))
     bi = (

