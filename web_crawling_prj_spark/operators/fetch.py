@@ -19,9 +19,13 @@ fetched pages (deterministic synthetic link graph), feeding the next round.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from web_crawling_prj_spark.functions.hashing import url_hash
 from web_crawling_prj_spark.functions.text import extract_text_udf
@@ -103,6 +107,15 @@ def synthetic_fetch(
     # chains A→B→C are stable across rounds. Target = a deterministic doc at
     # its TRUE host, so resolution lands on a real page (or a further hop).
     redirect_to = F.lit(None).cast("string")
+    if redirect_per_mille > 0 and not max_doc_id:
+        # ADVICE r6: this combination silently produced ZERO 3xx rows while
+        # the plan's redirect-resolution branch still ran — make it loud
+        logger.warning(
+            "synthetic_fetch: redirect_per_mille=%d but max_doc_id is %r — "
+            "redirect injection DISABLED (pass cfg.extra['max_doc_id'])",
+            redirect_per_mille,
+            max_doc_id,
+        )
     if redirect_per_mille > 0 and max_doc_id:
         from web_crawling_prj_spark.sources.pages_gen import _mix, host_for_doc
 
@@ -261,6 +274,10 @@ def real_fetch(
         import urllib.request
 
         last_off = 0.0
+        # one opener per task, amortized over every batch/row (guide §4.5);
+        # _NoRedirect.__new__ builds a handler class — doing that per row was
+        # avoidable constant work in the request loop (ADVICE r6)
+        opener = urllib.request.build_opener(_NoRedirect())
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -277,7 +294,6 @@ def real_fetch(
                 code, kind, body, loc = None, None, None, None
                 try:
                     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-                    opener = urllib.request.build_opener(_NoRedirect())
                     with opener.open(req, timeout=timeout_s) as resp:
                         code = resp.status
                         loc = resp.headers.get("Location")

@@ -38,6 +38,14 @@ logger = logging.getLogger(__name__)
 
 _PERSIST_SEQ = [0]  # one unique token per materialization call (see below)
 
+#: bounded ring of live fresh-persists: a long bench/oracle sweep invokes
+#: dozens of operators whose cache entries would otherwise linger until the
+#: Python GC + ContextCleaner get to them; evicting the oldest beyond the
+#: ring keeps storage pressure flat. Early unpersist is always SAFE — the
+#: data recomputes from lineage if a straggling consumer still holds it.
+_FRESH_RING: list = []
+_FRESH_RING_MAX = 8
+
 
 def _persist_fresh(df: DataFrame) -> DataFrame:
     """``persist()`` that can never be served from a PREVIOUS invocation's
@@ -50,7 +58,14 @@ def _persist_fresh(df: DataFrame) -> DataFrame:
     entry, and the blocks stay LRU-evictable (unlike localCheckpoint blocks,
     which are the only copy and pin storage until GC)."""
     _PERSIST_SEQ[0] += 1
-    return df.withColumn("_fresh_seq", F.lit(_PERSIST_SEQ[0])).persist().drop("_fresh_seq")
+    cached = df.withColumn("_fresh_seq", F.lit(_PERSIST_SEQ[0])).persist()
+    _FRESH_RING.append(cached)
+    if len(_FRESH_RING) > _FRESH_RING_MAX:
+        try:
+            _FRESH_RING.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return cached.drop("_fresh_seq")
 
 
 # --- LSH skew defenses (shared by minhash / simhash / embedding tiers) ---
