@@ -43,8 +43,11 @@ _PERSIST_SEQ = [0]  # one unique token per materialization call (see below)
 #: Python GC + ContextCleaner get to them; evicting the oldest beyond the
 #: ring keeps storage pressure flat. Early unpersist is always SAFE — the
 #: data recomputes from lineage if a straggling consumer still holds it.
+#: Size 3 ≥ the largest number of entries any single operator holds live at
+#: once (minhash: sigs + capped bands = 2), while keeping worst-case pinned
+#: storage at 3 entries even when the entries are 10⁷-row frontiers.
 _FRESH_RING: list = []
-_FRESH_RING_MAX = 8
+_FRESH_RING_MAX = 3
 
 
 def _persist_fresh(df: DataFrame) -> DataFrame:
