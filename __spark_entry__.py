@@ -1258,15 +1258,31 @@ def q_embedding_neardups(spark, sf_dir, tau: float = 0.4):
     ivf_topk) generate the candidate pairs and the clustering is unchanged.
     Oracle: all-pairs cosine + WITH RECURSIVE min-label closure in DuckDB."""
     from web_crawling_prj_spark.operators.graph import connected_components
-    from web_crawling_prj_spark.operators.similarity import cosine
+    from web_crawling_prj_spark.operators.similarity import cosine_hoisted, l2_norm
 
     e = _t(spark, sf_dir, "embeddings")
-    b = F.broadcast(e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")))
+    # r7 optimization, same results: (a) the embeddings parquet is 1-2 scan
+    # partitions, so the broadcast-NLJ all-pairs ran on 1-2 cores —
+    # round-robin repartition spreads the O(N²) compute across the cluster;
+    # (b) row norms hoisted out of the per-pair cosine (bit-identical
+    # values, 3× fewer per-pair flops — similarity.cosine_hoisted).
+    b = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            l2_norm("embedding").alias("_nb"),
+        )
+    )
     pairs = (
-        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            l2_norm("embedding").alias("_na"),
+        )
         .crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine("va", "vb"), 6) >= tau)
+        .where(F.round(cosine_hoisted("va", F.col("_na"), "vb", F.col("_nb")), 6) >= tau)
         .select("id_a", "id_b")
     )
     labeled = (

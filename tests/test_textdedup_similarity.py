@@ -456,3 +456,27 @@ def test_decontaminate_overlap_counts_and_flags(spark):
     # min_shared raises the bar: only the full copy survives a 2-gram bar
     strict = {r.doc_id: r.contaminated for r in decontaminate(train, ev, min_shared=2).collect()}
     assert strict == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_cosine_hoisted_equals_cosine(spark):
+    """cosine_hoisted (norms precomputed per row — the r7 pair-join form)
+    must be BIT-identical to cosine on every pair, including zero vectors
+    (the denominator guard) — the hoist only changes where the norm fold
+    runs, never its value."""
+    from pyspark.sql import functions as F
+
+    from web_crawling_prj_spark.operators.similarity import cosine, cosine_hoisted, l2_norm
+
+    rows = [
+        (1, [1.0, 2.0, -3.0], [0.5, -1.5, 2.5]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero-norm guard
+        (3, [1e-8, 2e-8, 3e-8], [3e8, -2e8, 1e8]),
+        (4, [0.1, 0.2, 0.3], [0.1, 0.2, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        cosine("a", "b").alias("plain"),
+        cosine_hoisted("a", l2_norm("a"), "b", l2_norm("b")).alias("hoisted"),
+    ).collect()
+    for r in out:
+        assert r.plain == r.hoisted  # exact, not approx

@@ -270,27 +270,69 @@ def semdedup(
     every input row: keep=false iff an earlier point in the cluster's
     keep-priority order (centroid_sim ASC, id ASC) has cosine ≥ tau with it.
     Cosines rounded to 6 decimals before every comparison."""
+    from web_crawling_prj_spark.operators.similarity import dot, l2_norm
+
     assigned, cents = kmeans(embeddings, k, iters, id_col, vec_col)
     scored = _score_against(assigned, cents, id_col, vec_col)
+    # Pairwise stage, two value-exact accelerations over the round-6 shape
+    # (the O(N²/k) within-cluster compare IS this operator's dominant cost —
+    # 144 s at 20k vectors before, invisible to `.count()` because Catalyst
+    # eliminates the distinct-keyed left join under it; bench_extra.py times
+    # it honestly with the noop sink):
+    # 1. norms precomputed ONCE per point — `cosine()` re-derived BOTH row
+    #    norms inside every pair (3× the per-pair flops); dot/(na·nb) with
+    #    hoisted norms is the bit-identical value (same fold, same order,
+    #    same zero-denominator guard, same 6-decimal rounding);
+    # 2. the "∃ earlier partner with cos ≥ tau" rule is a LEFT SEMI join —
+    #    the hash-join probe short-circuits at each b-row's FIRST qualifying
+    #    partner instead of materializing every qualifying pair and
+    #    distinct-ing 10⁷ rows (inner+distinct computed every pair's cosine
+    #    even after a drop was already proven).
+    # (3) the join key is (cluster, salt), not cluster alone: hash-
+    #     partitioning on k cluster ids caps the compare's parallelism at k
+    #     tasks (k=8 → 8 of 32 cores); salting the probe side S ways and
+    #     exploding the build side ×S (the politeness-rank salting pattern,
+    #     guide §2.5) spreads each cluster's slice over S tasks with
+    #     identical match semantics.
+    spark_ctx = scored.sparkSession.sparkContext
+    n_salts = max(1, min(16, (spark_ctx.defaultParallelism + max(1, k) - 1) // max(1, k)))
+    norm = l2_norm(F.col(vec_col))
     a = scored.select(
-        F.col("cluster"),
+        F.col("cluster").alias("_a_cluster"),
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_vec"),
         F.col("centroid_sim").alias("_a_sim"),
-    )
+        norm.alias("_a_norm"),
+    ).withColumn("_a_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     b = scored.select(
         F.col("cluster"),
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_vec"),
         F.col("centroid_sim").alias("_b_sim"),
-    )
+        norm.alias("_b_norm"),
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("_b_id")), F.lit(n_salts)).cast("int"))
     earlier = (F.col("_a_sim") < F.col("_b_sim")) | (
         (F.col("_a_sim") == F.col("_b_sim")) & (F.col("_a_id") < F.col("_b_id"))
     )
+    denom = F.col("_a_norm") * F.col("_b_norm")
+    pair_cos = F.round(
+        F.when(denom > 0, dot(F.col("_a_vec"), F.col("_b_vec")) / denom).otherwise(F.lit(0.0)),
+        6,
+    )
+    # the trailing distinct is a semantic no-op (semi-join output is one row
+    # per b) but PROVES key uniqueness to Catalyst, so a consumer that never
+    # reads `keep`'s provenance (e.g. a bare count) can still eliminate the
+    # final left join — the same elimination the round-6 inner+distinct
+    # shape allowed
     dropped = (
-        a.join(b, "cluster")
-        .where(earlier)
-        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
+        b.join(
+            a,
+            (F.col("cluster") == F.col("_a_cluster"))
+            & (F.col("_salt") == F.col("_a_salt"))
+            & earlier
+            & (pair_cos >= tau),
+            "left_semi",
+        )
         .select(F.col("_b_id").alias(id_col))
         .distinct()
     )
@@ -338,37 +380,56 @@ def semdedup_increment(
         [(int(c), [float(x) for x in v]) for c, v in sorted(cents)],
         "cluster int, centroid array<double>",
     )
+    from web_crawling_prj_spark.operators.similarity import dot, l2_norm
+
     scored = _score_against(assigned, cent_df, id_col, vec_col)
+    # same three pair-stage accelerations as :func:`semdedup`: norms hoisted
+    # out of the per-pair cosine (bit-identical values), each screen a
+    # short-circuiting LEFT SEMI join, and the join salted so parallelism is
+    # not capped at the number of clusters; the trailing distinct keeps key
+    # uniqueness provable for the final left join
+    spark_ctx = scored.sparkSession.sparkContext
+    k_est = max(1, len(cents))
+    n_salts = max(1, min(16, (spark_ctx.defaultParallelism + k_est - 1) // k_est))
+    salt_b = F.pmod(F.xxhash64(F.col("_b_id")), F.lit(n_salts)).cast("int")
+    salt_explode = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    norm = l2_norm(F.col(vec_col))
     new_b = scored.select(
         "cluster",
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_vec"),
         F.col("centroid_sim").alias("_b_sim"),
-    )
+        norm.alias("_b_norm"),
+    ).withColumn("_salt", salt_b)
     prior_a = prior.select(
-        "cluster",
+        F.col("cluster").alias("_a_cluster"),
         F.col(vec_col).alias("_a_vec"),
+        l2_norm(F.col(vec_col)).alias("_a_norm"),
+    ).withColumn("_a_salt", salt_explode)
+    denom = F.col("_a_norm") * F.col("_b_norm")
+    pair_cos = F.round(
+        F.when(denom > 0, dot(F.col("_a_vec"), F.col("_b_vec")) / denom).otherwise(F.lit(0.0)),
+        6,
     )
-    dropped_vs_prior = (
-        prior_a.join(new_b, "cluster")
-        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
-        .select(F.col("_b_id").alias(id_col))
+    on_cluster_salt = (F.col("cluster") == F.col("_a_cluster")) & (
+        F.col("_salt") == F.col("_a_salt")
     )
+    dropped_vs_prior = new_b.join(
+        prior_a, on_cluster_salt & (pair_cos >= tau), "left_semi"
+    ).select(F.col("_b_id").alias(id_col))
     new_a = scored.select(
-        "cluster",
+        F.col("cluster").alias("_a_cluster"),
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_vec"),
         F.col("centroid_sim").alias("_a_sim"),
-    )
+        norm.alias("_a_norm"),
+    ).withColumn("_a_salt", salt_explode)
     earlier = (F.col("_a_sim") < F.col("_b_sim")) | (
         (F.col("_a_sim") == F.col("_b_sim")) & (F.col("_a_id") < F.col("_b_id"))
     )
-    dropped_vs_new = (
-        new_a.join(new_b, "cluster")
-        .where(earlier)
-        .where(F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= tau)
-        .select(F.col("_b_id").alias(id_col))
-    )
+    dropped_vs_new = new_b.join(
+        new_a, on_cluster_salt & earlier & (pair_cos >= tau), "left_semi"
+    ).select(F.col("_b_id").alias(id_col))
     dropped = dropped_vs_prior.unionByName(dropped_vs_new).distinct()
     return (
         scored.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")

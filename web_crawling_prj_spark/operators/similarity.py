@@ -48,6 +48,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_hoisted(a: Column | str, norm_a: Column, b: Column | str, norm_b: Column) -> Column:
+    """:func:`cosine` with the two row norms precomputed by the caller —
+    bit-identical values (same fold, same multiply, same zero guard), but in
+    a pair join each side's norm is computed once per ROW instead of once
+    per PAIR (the per-pair flops drop 3×: one dot instead of dot + two
+    norm folds + two sqrts). Round-7 optimization; every cosine-over-join
+    site uses this."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -61,10 +72,14 @@ def brute_force_topk(
     embedding table is scanned once, map-side; the only shuffle is the
     per-query top-k window over |Q|·N scored rows (pre-reduced map-side by
     Spark's TakeOrdered when followed by limit, and prunable via AQE)."""
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+    emb_n = embeddings.withColumn("_en", l2_norm(vec_col))
+    q_n = queries.withColumn("_qn", l2_norm(query_vec_col))
+    scored = emb_n.crossJoin(F.broadcast(q_n)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+        F.round(
+            cosine_hoisted(vec_col, F.col("_en"), query_vec_col, F.col("_qn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -182,34 +197,39 @@ def lsh_bucketed_topk(
     """
     if planes == "md5":
         sig_col = hyperplane_signature_native(F.col(vec_col), dim, n_planes)
-        emb_b = embeddings.withColumn("bucket", sig_col)
+        emb_b = embeddings.withColumn("bucket", sig_col).withColumn("_en", l2_norm(vec_col))
         q_b = queries.withColumn(
             "bucket", hyperplane_signature_native(F.col(query_vec_col), dim, n_planes)
-        )
+        ).withColumn("_qn", l2_norm(query_vec_col))
         scored = (
             emb_b.join(F.broadcast(q_b), "bucket")
             .select(
                 F.col(query_id_col),
                 F.col(id_col),
-                F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+                F.round(
+                    cosine_hoisted(vec_col, F.col("_en"), query_vec_col, F.col("_qn")), 6
+                ).alias("cos_sim"),
             )
             .dropDuplicates([query_id_col, id_col])
         )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     sig = hyperplane_signature_udf(dim, n_planes)
-    emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col)))
+    emb_b = embeddings.withColumn("bucket", sig(F.col(vec_col))).withColumn("_en", l2_norm(vec_col))
     if n_probes > 1:
         probes = probe_buckets_udf(dim, n_planes, n_probes)
         q_b = queries.withColumn("bucket", F.explode(probes(F.col(query_vec_col))))
     else:
         q_b = queries.withColumn("bucket", sig(F.col(query_vec_col)))
+    q_b = q_b.withColumn("_qn", l2_norm(query_vec_col))
     scored = (
         emb_b.join(F.broadcast(q_b), "bucket")
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+            F.round(
+                cosine_hoisted(vec_col, F.col("_en"), query_vec_col, F.col("_qn")), 6
+            ).alias("cos_sim"),
         )
         .dropDuplicates([query_id_col, id_col])
     )
@@ -257,14 +277,18 @@ def embedding_near_dup_pairs(
     reps = j.where(F.col("id") == F.col("_rep")).select("id", "v")
 
     sig = hyperplane_signature_udf(dim, n_planes)
-    b = _cap_buckets(reps.withColumn("bucket", sig(F.col("v"))), ["bucket"], bucket_cap, stats_out)
+    b = _cap_buckets(
+        reps.withColumn("bucket", sig(F.col("v"))), ["bucket"], bucket_cap, stats_out
+    ).withColumn("_n", l2_norm(F.col("v")))
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(
         y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
-        F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+        F.round(
+            cosine_hoisted(F.col("x.v"), F.col("x._n"), F.col("y.v"), F.col("y._n")), 6
+        ).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold).unionByName(intra)
 
@@ -364,15 +388,21 @@ def ivf_topk(
             embeddings, n_centroids, kmeans_iters, id_col=id_col, vec_col=vec_col
         )
     a1 = centroid_assign_udf(centroids, 1)
-    emb_c = embeddings.withColumn("cell", F.element_at(a1(F.col(vec_col)), 1))
+    emb_c = embeddings.withColumn("cell", F.element_at(a1(F.col(vec_col)), 1)).withColumn(
+        "_en", l2_norm(vec_col)
+    )
     aq = centroid_assign_udf(centroids, n_probe)
-    q_c = queries.withColumn("cell", F.explode(aq(F.col(query_vec_col))))
+    q_c = queries.withColumn("cell", F.explode(aq(F.col(query_vec_col)))).withColumn(
+        "_qn", l2_norm(query_vec_col)
+    )
     scored = (
         emb_c.join(F.broadcast(q_c), "cell")
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+            F.round(
+                cosine_hoisted(vec_col, F.col("_en"), query_vec_col, F.col("_qn")), 6
+            ).alias("cos_sim"),
         )
         .dropDuplicates([query_id_col, id_col])
     )
