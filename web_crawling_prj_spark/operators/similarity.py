@@ -72,7 +72,15 @@ def brute_force_topk(
     embedding table is scanned once, map-side; the only shuffle is the
     per-query top-k window over |Q|·N scored rows (pre-reduced map-side by
     Spark's TakeOrdered when followed by limit, and prunable via AQE)."""
+    # broadcast-NLJ inherits the embeddings side's partitioning, and a small
+    # parquet is often 1-2 input splits — which serializes the |Q|·N compare
+    # onto 1-2 cores (measured 31 s → 3 s for the every-vector-as-query
+    # neighbor scan at sf0.1). Spread ONLY when below cluster parallelism:
+    # at scale the table already has ≥cores splits and no shuffle is added.
     emb_n = embeddings.withColumn("_en", l2_norm(vec_col))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if emb_n.rdd.getNumPartitions() < par:
+        emb_n = emb_n.repartition(par)
     q_n = queries.withColumn("_qn", l2_norm(query_vec_col))
     scored = emb_n.crossJoin(F.broadcast(q_n)).select(
         F.col(query_id_col),

@@ -786,9 +786,18 @@ def winnowing_overlap_pairs(
     from web_crawling_prj_spark.functions.text import winnowing_fingerprints
 
     reps, intra = _exact_groups(docs, id_col, text_col)
-    rep_fps = reps.select("id", winnowing_fingerprints("_text", k, window).alias("fps"))
-    fps = _cap_buckets(
-        rep_fps.select("id", F.explode("fps").alias("fp")), ["fp"], bucket_cap, stats_out
+    # fingerprints feed the bucket-capped explode AND the per-doc count; the
+    # capped (id, fp) rows feed BOTH sides of the self-join — materialize
+    # each once per invocation (fresh-token persist, same reasoning as the
+    # minhash signatures) instead of re-running the winnowing HOF subtree
+    # three times. Measured 9.8 s → see OPTIMIZATION_r07.md.
+    rep_fps = _persist_fresh(
+        reps.select("id", winnowing_fingerprints("_text", k, window).alias("fps"))
+    )
+    fps = _persist_fresh(
+        _cap_buckets(
+            rep_fps.select("id", F.explode("fps").alias("fp")), ["fp"], bucket_cap, stats_out
+        )
     )
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (
