@@ -1273,8 +1273,10 @@ def q_embedding_neardups(spark, sf_dir, tau: float = 0.4):
             l2_norm("embedding").alias("_nb"),
         )
     )
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
     pairs = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        spread_if_narrow(e)
         .select(
             F.col("vec_id").alias("id_a"),
             F.col("embedding").alias("va"),

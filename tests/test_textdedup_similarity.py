@@ -480,3 +480,21 @@ def test_cosine_hoisted_equals_cosine(spark):
     ).collect()
     for r in out:
         assert r.plain == r.hoisted  # exact, not approx
+
+
+def test_spread_if_narrow_guard(spark, docs):
+    """The scan-parallelism guard: a below-parallelism input is round-robined
+    to defaultParallelism (the fix for the single-split-scan serialization
+    trap — everything upstream of a plan's first exchange inherits the scan's
+    partitioning); an input at/above parallelism passes through UNCHANGED (no
+    added exchange at real scale). Value-neutrality is pinned separately by
+    the partitioning-independence laws (test_dup_spans / test_semdedup)."""
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = docs.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert spread_if_narrow(narrow).rdd.getNumPartitions() == par
+    wide = docs.repartition(par + 4)
+    spread = spread_if_narrow(wide)
+    assert spread is wide  # identity — no exchange added above parallelism

@@ -44,7 +44,17 @@ def _tokens(text: Column | str) -> Column:
 def tokenize_positional(df: DataFrame, key: str, text_col: str) -> DataFrame:
     """(key, pos, w, w_prev) token stream — pos is 1-based; w_prev is NULL at
     pos 1. One shuffle (the per-doc lag window)."""
-    tok = df.select(
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    # the tokenize+posexplode runs at the SCAN's parallelism (it sits below
+    # the lag window's exchange); a single-file corpus parquet is one split →
+    # one core for every lmquality consumer (LM training, scoring, DSIR and
+    # classifier features). Guarded round-robin: identity at real scale.
+    # Measured 1.2 s → 0.57 s for the full perplexity query at a 50 k-doc
+    # single-split input; the subtree itself stays lazy (the round-7 bake-off
+    # showed materializing it REGRESSES — this changes parallelism, not plan
+    # sharing).
+    tok = spread_if_narrow(df).select(
         F.col(key),
         F.posexplode(_tokens(text_col)).alias("_p0", "w"),
     ).select(key, (F.col("_p0") + 1).alias("pos"), "w")

@@ -271,7 +271,13 @@ def semdedup(
     keep-priority order (centroid_sim ASC, id ASC) has cosine ≥ tau with it.
     Cosines rounded to 6 decimals before every comparison."""
     from web_crawling_prj_spark.operators.similarity import dot, l2_norm
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
 
+    # the per-vector k·d assignment fold and the scoring cosine run at the
+    # SCAN's parallelism (everything upstream of the first exchange does);
+    # a single-file embeddings parquet is one split → one core. Guarded
+    # round-robin: identity at real scale, row-wise semantics unchanged.
+    embeddings = spread_if_narrow(embeddings)
     assigned, cents = kmeans(embeddings, k, iters, id_col, vec_col)
     scored = _score_against(assigned, cents, id_col, vec_col)
     # Pairwise stage, two value-exact accelerations over the round-6 shape
@@ -375,6 +381,11 @@ def semdedup_increment(
     cents = centroids
     if isinstance(cents, DataFrame):
         cents = [(r["cluster"], list(r["centroid"])) for r in cents.collect()]
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    # same scan-parallelism guard as :func:`semdedup` — the frozen-centroid
+    # assignment fold runs map-side on the new batch's scan splits
+    new_vecs = spread_if_narrow(new_vecs)
     assigned = kmeans_assign(new_vecs, cents, id_col, vec_col)
     cent_df = new_vecs.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in sorted(cents)],

@@ -71,6 +71,25 @@ def _persist_fresh(df: DataFrame) -> DataFrame:
     return cached.drop("_fresh_seq")
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster ONLY when it has fewer
+    splits than ``defaultParallelism``. Everything upstream of a plan's
+    first exchange inherits the scan's partitioning, and a small parquet
+    (one file under ``maxPartitionBytes``) is ONE split — so a per-row
+    subtree that costs far more than the scan itself (tokenize + n-gram
+    build + md5, signature folds, per-vector distance math) silently runs
+    on one core no matter how many the cluster has. At real scale the
+    table has ≥ cores splits and this is the identity — no added exchange,
+    no local-mode special-casing; the guard is scale-adaptive, the same
+    rule ``brute_force_topk`` ships (measured 31 s → 3 s there, and
+    19 s → 2.3 s for duplicate_ngram_spans at a 50 k-doc single-split
+    input)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --- LSH skew defenses (shared by minhash / simhash / embedding tiers) ---
 #
 # Real webtext is boilerplate-heavy: one hot LSH bucket (N near-identical docs)
@@ -99,6 +118,15 @@ def _exact_groups(docs: DataFrame, id_col: str, text_col: str):
     # (~50% at 5·10⁹) would silently merge two different documents as "exact"
     # duplicates and drop one from all LSH comparison; 128 bits pushes the
     # collision horizon past any corpus size. Same choice as exact_dup_flags.
+    #
+    # spread_if_narrow: when the rep-group join below is broadcast (the
+    # common case), `reps` INHERITS this scan's partitioning — and every
+    # signature pipeline downstream (minhash 32-seeded-hash fold, simhash
+    # numpy kernel, winnowing HOF) then runs at the scan's parallelism. A
+    # single-file parquet is ONE split, so the whole signature stage
+    # serializes onto one core; at real scale the input has ≥ cores splits
+    # and this is the identity.
+    docs = spread_if_narrow(docs)
     fp = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_text"), F.md5(F.col(text_col)).alias("_fp")
     )
@@ -352,7 +380,7 @@ def duplicate_ngram_spans(
 
     Returns (id_col, span_start, span_end, span_tokens): token-index spans,
     end exclusive. Every returned span is ≥ n tokens and maximal."""
-    occ = docs.select(
+    occ = spread_if_narrow(docs).select(
         F.col(id_col),
         F.posexplode(positional_ngrams_col(text_col, n)).alias("pos", "gram"),
     ).select(id_col, "pos", F.unhex(F.md5("gram")).alias("gh"))

@@ -65,6 +65,13 @@ def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFr
     host, unsorted query, fragment) so canonicalization-dedup has real work.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # a single-file documents parquet is ONE scan split, and every per-row
+    # stage upstream of the crawl plan's first exchange (html render, url
+    # canonicalization, the extract hot path) inherits it — spread across
+    # the cluster only when below parallelism (identity at real scale)
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    docs = spread_if_narrow(docs)
     base = docs.select(
         "doc_id",
         host_for_doc(F.col("doc_id")).alias("host"),
