@@ -646,7 +646,9 @@ def q_winnowing_fps(spark, sf_dir):
     """Document fingerprinting (rolling-hash winnowing, SIGMOD'03): per-doc
     window-min k-gram fingerprints, exploded. md5 gram hashes keep the DuckDB
     oracle value-exact."""
-    d = _t(spark, sf_dir, "documents")
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", F.explode(T.winnowing_fingerprints("text")).alias("fp"))
 
 
@@ -1612,7 +1614,9 @@ def q_ccnet_pipeline(spark, sf_dir):
         train_bigram_lm,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from web_crawling_prj_spark.operators.textdedup import _persist_fresh, spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     en = d.where(T.lang_id("text") == "en")
     w = Window.partitionBy(F.md5("text"))
     kept = (
@@ -1620,6 +1624,12 @@ def q_ccnet_pipeline(spark, sf_dir):
         .where(F.col("_keep"))
         .drop("_keep")
     )
+    # the langid+window `kept` subtree feeds SEVEN consumers (uni/bi/totals
+    # training views + the scoring side's joins) — without materialization
+    # the whole filter+exchange+window replays per consumer (r7: 13 s → 4.5 s
+    # at a 50 k-doc input; only doc_id/text survive downstream, so the cache
+    # entry is narrow). Same _persist_fresh rules as the dedup operators.
+    kept = _persist_fresh(kept.select("doc_id", "text"))
     uni, bi, totals = train_bigram_lm(
         kept.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
     )

@@ -118,6 +118,12 @@ def gopher_repetition(
     (key, dup_line_frac, dup_line_char_frac, dup_para_frac,
     dup_para_char_frac, top{2,3,4}_gram_char_frac,
     dup{5..10}_gram_char_frac). See module docstring for conventions."""
+    from web_crawling_prj_spark.operators.textdedup import spread_if_narrow
+
+    # all 13 signals are per-doc column math upstream of any exchange — a
+    # single-split scan serializes them onto one core (guarded: identity at
+    # real scale)
+    docs = spread_if_narrow(docs)
     lines = F.split(F.col(text_col), "\n")
     paras = F.split(F.col(text_col), "\n\n")
     lf, lcf = _dup_unit_fracs(lines)
