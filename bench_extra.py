@@ -52,6 +52,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--single-split", action="store_true", dest="single_split")
     args = ap.parse_args()
 
     spark = get_spark("wcp-bench-extra", shuffle_partitions=None)
@@ -127,6 +128,44 @@ def main():
         spark=spark,
     )
     bcast.destroy()
+
+    # --- single-split regime (the driver's sf1.0 layout: ONE parquet file
+    # per table, so every pre-exchange subtree inherits a 1-split scan) ---
+    # Reproduces the round-7 batch-7/8 evidence: the guarded spread
+    # (textdedup.spread_if_narrow) is what keeps these from serializing
+    # onto one core. Walls here are with the shipped (spread) code; to see
+    # the trap, stub spread_if_narrow to the identity and re-run.
+    if args.single_split:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="wcp_ssplit_")
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/docs")
+        emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/emb")
+        docs1 = spark.read.parquet(f"{tmp}/docs")
+        emb1 = spark.read.parquet(f"{tmp}/emb")
+        out["n_splits_docs1"] = docs1.rdd.getNumPartitions()
+        out["ss_dup_ngram_spans"] = _best(
+            lambda: _noop(duplicate_ngram_spans(docs1, n=8, min_count=2)),
+            label="single-split: spans",
+            spark=spark,
+        )
+        out["ss_minhash_pairs"] = _best(
+            lambda: _noop(
+                minhash_candidate_pairs(docs1, jaccard_threshold=0.5).select(
+                    "id_a", "id_b", F.round("est_jaccard", 4)
+                )
+            ),
+            label="single-split: minhash",
+            spark=spark,
+        )
+        out["ss_semdedup"] = _best(
+            lambda: _noop(semdedup(emb1, k=8, iters=2, tau=0.4)),
+            label="single-split: semdedup",
+            spark=spark,
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps(out))
 

@@ -107,7 +107,12 @@ def test_read_warc_dir_parses_real_files(spark, tmp_path):
 def _pages(spark, n=40):
     from web_crawling_prj_spark.sources.pages_gen import pages_df
 
-    return pages_df(spark, "/root/testdata/sf0.001").limit(n)
+    # orderBy before limit: a bare limit() on a multi-partition frame picks
+    # an unspecified n rows PER EVALUATION — this fixture is consumed by two
+    # separate subplans (archive + join-back), which must see the SAME slice.
+    # (Only ever deterministic before because the 1-split scan had one
+    # partition; pages_df now spreads narrow scans.)
+    return pages_df(spark, "/root/testdata/sf0.001").orderBy("url").limit(n)
 
 
 def test_pages_from_warc_reproduces_input_hint_table_byte_exactly(spark, tmp_path):
